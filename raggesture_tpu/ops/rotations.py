@@ -1,0 +1,216 @@
+"""Rotation representation conversions in pure JAX.
+
+Provides the conversions the gesture stack relies on everywhere (dataset
+featurization, VAE encode/decode, evaluation, frame interpolation):
+
+    axis-angle <-> rotation matrix <-> 6d continuous representation
+    (via unit quaternions internally)
+
+Behavioral parity target: the PyTorch3D-derived helpers used by the reference
+(``/root/reference/mogen/models/utils/rotation_conversions.py:416,432,511,535``)
+— same representation conventions (row-major 6d = first two *rows* of the
+rotation matrix; wxyz quaternions), implemented fresh for jnp with
+Taylor-stabilized small-angle paths so they are safe under ``jax.grad``.
+
+All functions broadcast over arbitrary leading batch dimensions and are
+jit/vmap/grad compatible (no data-dependent control flow).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+_EPS = 1e-6
+
+
+def axis_angle_to_quaternion(axis_angle: jnp.ndarray) -> jnp.ndarray:
+    """Convert rotations given as axis/angle to quaternions (w, x, y, z).
+
+    axis_angle: (..., 3) rotation vector (direction = axis, norm = angle in
+    radians). Returns (..., 4) unit quaternions with real part first.
+    """
+    # grad-safe at the zero rotation: never take sqrt of (or divide by) a
+    # quantity that can be exactly 0 — use the squared norm in the Taylor
+    # branch and a clamped sqrt in the generic branch (double-where trick).
+    sq = jnp.sum(axis_angle * axis_angle, axis=-1, keepdims=True)
+    small = sq < _EPS**2
+    safe_sq = jnp.where(small, jnp.ones_like(sq), sq)
+    angles = jnp.sqrt(safe_sq)
+    half_angles = angles * 0.5
+    # sin(a/2)/a with the a -> 0 limit 1/2 - a^2/48
+    sin_half_over_angle = jnp.where(
+        small, 0.5 - sq / 48.0, jnp.sin(half_angles) / angles
+    )
+    # cos(a/2) with the a -> 0 limit 1 - a^2/8
+    cos_half = jnp.where(small, 1.0 - sq / 8.0, jnp.cos(half_angles))
+    return jnp.concatenate([cos_half, axis_angle * sin_half_over_angle], axis=-1)
+
+
+def quaternion_to_matrix(quaternions: jnp.ndarray) -> jnp.ndarray:
+    """Convert (..., 4) wxyz quaternions to (..., 3, 3) rotation matrices."""
+    r, i, j, k = (
+        quaternions[..., 0],
+        quaternions[..., 1],
+        quaternions[..., 2],
+        quaternions[..., 3],
+    )
+    two_s = 2.0 / jnp.sum(quaternions * quaternions, axis=-1)
+    o = jnp.stack(
+        [
+            1 - two_s * (j * j + k * k),
+            two_s * (i * j - k * r),
+            two_s * (i * k + j * r),
+            two_s * (i * j + k * r),
+            1 - two_s * (i * i + k * k),
+            two_s * (j * k - i * r),
+            two_s * (i * k - j * r),
+            two_s * (j * k + i * r),
+            1 - two_s * (i * i + j * j),
+        ],
+        axis=-1,
+    )
+    return o.reshape(quaternions.shape[:-1] + (3, 3))
+
+
+def axis_angle_to_matrix(axis_angle: jnp.ndarray) -> jnp.ndarray:
+    """(..., 3) axis-angle -> (..., 3, 3) rotation matrix."""
+    return quaternion_to_matrix(axis_angle_to_quaternion(axis_angle))
+
+
+def _sqrt_positive_part(x: jnp.ndarray) -> jnp.ndarray:
+    """sqrt(max(0, x)) with a zero subgradient at x <= 0."""
+    return jnp.sqrt(jnp.maximum(x, 0.0))
+
+
+def matrix_to_quaternion(matrix: jnp.ndarray) -> jnp.ndarray:
+    """Convert (..., 3, 3) rotation matrices to (..., 4) wxyz quaternions.
+
+    Branch-free candidate selection (numerically robust for all rotation
+    angles): build the four Shepperd candidates and pick the one whose
+    denominator (|q component|) is largest.
+    """
+    m = matrix
+    m00, m01, m02 = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    m10, m11, m12 = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    m20, m21, m22 = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+
+    q_abs = _sqrt_positive_part(
+        jnp.stack(
+            [
+                1.0 + m00 + m11 + m22,
+                1.0 + m00 - m11 - m22,
+                1.0 - m00 + m11 - m22,
+                1.0 - m00 - m11 + m22,
+            ],
+            axis=-1,
+        )
+    )
+
+    quat_by_rijk = jnp.stack(
+        [
+            jnp.stack([q_abs[..., 0] ** 2, m21 - m12, m02 - m20, m10 - m01], axis=-1),
+            jnp.stack([m21 - m12, q_abs[..., 1] ** 2, m10 + m01, m02 + m20], axis=-1),
+            jnp.stack([m02 - m20, m10 + m01, q_abs[..., 2] ** 2, m12 + m21], axis=-1),
+            jnp.stack([m10 - m01, m20 + m02, m21 + m12, q_abs[..., 3] ** 2], axis=-1),
+        ],
+        axis=-2,
+    )  # (..., 4 candidates, 4)
+
+    flr = 0.1
+    quat_candidates = quat_by_rijk / (
+        2.0 * jnp.maximum(q_abs[..., None], flr)
+    )
+
+    best = jnp.argmax(q_abs, axis=-1)
+    onehot = jax_one_hot(best, 4)  # (..., 4)
+    out = jnp.sum(quat_candidates * onehot[..., None], axis=-2)
+    return out
+
+
+def jax_one_hot(indices: jnp.ndarray, num_classes: int) -> jnp.ndarray:
+    return (
+        indices[..., None] == jnp.arange(num_classes, dtype=indices.dtype)
+    ).astype(jnp.float32)
+
+
+def quaternion_to_axis_angle(quaternions: jnp.ndarray) -> jnp.ndarray:
+    """(..., 4) wxyz quaternion -> (..., 3) axis-angle."""
+    sq = jnp.sum(quaternions[..., 1:] * quaternions[..., 1:], axis=-1, keepdims=True)
+    small = sq < _EPS**2
+    norms = jnp.sqrt(jnp.where(small, jnp.ones_like(sq), sq))
+    norms = jnp.where(small, jnp.zeros_like(norms), norms)
+    half_angles = jnp.arctan2(norms, quaternions[..., :1])
+    angles = 2.0 * half_angles
+    sin_half_over_angle = jnp.where(
+        small,
+        0.5 - (angles * angles) / 48.0,
+        jnp.sin(half_angles) / jnp.where(small, jnp.ones_like(angles), angles),
+    )
+    return quaternions[..., 1:] / sin_half_over_angle
+
+
+def matrix_to_axis_angle(matrix: jnp.ndarray) -> jnp.ndarray:
+    """(..., 3, 3) rotation matrix -> (..., 3) axis-angle."""
+    return quaternion_to_axis_angle(matrix_to_quaternion(matrix))
+
+
+def matrix_to_rotation_6d(matrix: jnp.ndarray) -> jnp.ndarray:
+    """(..., 3, 3) -> (..., 6): the first two ROWS of the matrix, flattened.
+
+    Same convention as the reference (Zhou et al. 2019 continuity rep, as in
+    PyTorch3D: ``matrix[..., :2, :]``).
+    """
+    return matrix[..., :2, :].reshape(matrix.shape[:-2] + (6,))
+
+
+def rotation_6d_to_matrix(d6: jnp.ndarray) -> jnp.ndarray:
+    """(..., 6) -> (..., 3, 3) via Gram-Schmidt on the two stored rows."""
+    a1 = d6[..., :3]
+    a2 = d6[..., 3:]
+    b1 = a1 / jnp.maximum(jnp.linalg.norm(a1, axis=-1, keepdims=True), _EPS)
+    a2_proj = jnp.sum(b1 * a2, axis=-1, keepdims=True) * b1
+    b2_raw = a2 - a2_proj
+    b2 = b2_raw / jnp.maximum(jnp.linalg.norm(b2_raw, axis=-1, keepdims=True), _EPS)
+    b3 = jnp.cross(b1, b2)
+    return jnp.stack([b1, b2, b3], axis=-2)
+
+
+def axis_angle_to_rotation_6d(axis_angle: jnp.ndarray) -> jnp.ndarray:
+    """Convenience: (..., 3) axis-angle -> (..., 6)."""
+    return matrix_to_rotation_6d(axis_angle_to_matrix(axis_angle))
+
+
+def rotation_6d_to_axis_angle(d6: jnp.ndarray) -> jnp.ndarray:
+    """Convenience: (..., 6) -> (..., 3) axis-angle."""
+    return matrix_to_axis_angle(rotation_6d_to_matrix(d6))
+
+
+def aa_feature_to_6d(x: jnp.ndarray) -> jnp.ndarray:
+    """Flattened per-frame axis-angle features (..., J*3) -> (..., J*6).
+
+    The reference applies this reshape before every VAE encode
+    (``diffusion_transformer.py:195-196`` in /root/reference).
+    """
+    j = x.shape[-1] // 3
+    aa = x.reshape(x.shape[:-1] + (j, 3))
+    d6 = axis_angle_to_rotation_6d(aa)
+    return d6.reshape(x.shape[:-1] + (j * 6,))
+
+
+def d6_feature_to_aa(x: jnp.ndarray) -> jnp.ndarray:
+    """Flattened per-frame 6d features (..., J*6) -> (..., J*3) axis-angle."""
+    j = x.shape[-1] // 6
+    d6 = x.reshape(x.shape[:-1] + (j, 6))
+    aa = rotation_6d_to_axis_angle(d6)
+    return aa.reshape(x.shape[:-1] + (j * 3,))
+
+
+def slerp_6d(x0: jnp.ndarray, x1: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Linear blend of two 6d-rotation feature tensors (used by the long-form
+    cross-fade, reference ``tools/longform_synthesis.py:431-518``).
+
+    The reference cross-fades raw 6d features with linspace weights and relies
+    on the Gram-Schmidt projection of ``rotation_6d_to_matrix`` to re-normalize
+    — we do the same: plain lerp in 6d space.
+    """
+    return x0 * (1.0 - w) + x1 * w

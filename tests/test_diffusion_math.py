@@ -1,0 +1,119 @@
+"""Algebraic identity tests for the functional Gaussian diffusion core."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raggesture_tpu.diffusion import gaussian as G
+from raggesture_tpu.diffusion.gaussian import MeanType, VarType
+from raggesture_tpu.diffusion.schedules import make_schedule
+
+SCHED = make_schedule("scaled_linear", 1000)
+
+
+def _xt(key, shape=(4, 43, 8)):
+    k1, k2, k3 = jax.random.split(key, 3)
+    x0 = jax.random.normal(k1, shape)
+    noise = jax.random.normal(k2, shape)
+    t = jax.random.randint(k3, (shape[0],), 0, 1000)
+    return x0, noise, t
+
+
+def test_q_sample_coefficients():
+    x0, noise, t = _xt(jax.random.PRNGKey(0))
+    xt = G.q_sample(SCHED, x0, t, noise)
+    abar = np.asarray(SCHED.alphas_cumprod)[np.asarray(t)]
+    expect = (
+        np.sqrt(abar)[:, None, None] * np.asarray(x0)
+        + np.sqrt(1 - abar)[:, None, None] * np.asarray(noise)
+    )
+    np.testing.assert_allclose(np.asarray(xt), expect, rtol=1e-4, atol=1e-5)
+
+
+def test_x0_eps_inverse():
+    x0, noise, t = _xt(jax.random.PRNGKey(1))
+    xt = G.q_sample(SCHED, x0, t, noise)
+    # eps recovered from (x_t, x0) must be the noise
+    eps = G.predict_eps_from_xstart(SCHED, xt, t, x0)
+    np.testing.assert_allclose(np.asarray(eps), np.asarray(noise), rtol=1e-2, atol=1e-3)
+    # and x0 recovered from (x_t, eps) must be x0
+    x0r = G.predict_xstart_from_eps(SCHED, xt, t, noise)
+    np.testing.assert_allclose(np.asarray(x0r), np.asarray(x0), rtol=1e-2, atol=1e-3)
+
+
+def test_v_identities():
+    x0, noise, t = _xt(jax.random.PRNGKey(2))
+    xt = G.q_sample(SCHED, x0, t, noise)
+    v = G.get_v(SCHED, x0, noise, t)
+    np.testing.assert_allclose(
+        np.asarray(G.predict_xstart_from_v(SCHED, xt, t, v)), np.asarray(x0),
+        rtol=1e-2, atol=1e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(G.predict_eps_from_v(SCHED, xt, t, v)), np.asarray(noise),
+        rtol=1e-2, atol=1e-3,
+    )
+
+
+def test_xprev_inverse():
+    x0, noise, t = _xt(jax.random.PRNGKey(3))
+    t = jnp.maximum(t, 1)
+    xt = G.q_sample(SCHED, x0, t, noise)
+    mean, _, _ = G.q_posterior_mean_variance(SCHED, x0, xt, t)
+    x0r = G.predict_xstart_from_xprev(SCHED, xt, t, mean)
+    np.testing.assert_allclose(np.asarray(x0r), np.asarray(x0), rtol=1e-2, atol=1e-2)
+
+
+def test_p_mean_variance_start_x():
+    x0, noise, t = _xt(jax.random.PRNGKey(4))
+    xt = G.q_sample(SCHED, x0, t, noise)
+    out = G.p_mean_variance(SCHED, x0, xt, t, MeanType.START_X, VarType.FIXED_LARGE)
+    # with a perfect model the posterior mean uses the true x0
+    mean, _, _ = G.q_posterior_mean_variance(SCHED, x0, xt, t)
+    np.testing.assert_allclose(np.asarray(out.mean), np.asarray(mean), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.eps), np.asarray(noise), rtol=1e-2, atol=1e-3)
+    fl = np.asarray(SCHED.fixed_large_variance)[np.asarray(t)]
+    np.testing.assert_allclose(
+        np.asarray(out.variance)[:, 0, 0], fl, rtol=1e-5
+    )
+
+
+def test_p_mean_variance_epsilon_consistency():
+    x0, noise, t = _xt(jax.random.PRNGKey(5))
+    xt = G.q_sample(SCHED, x0, t, noise)
+    out_sx = G.p_mean_variance(SCHED, x0, xt, t, MeanType.START_X, VarType.FIXED_SMALL)
+    out_eps = G.p_mean_variance(SCHED, noise, xt, t, MeanType.EPSILON, VarType.FIXED_SMALL)
+    np.testing.assert_allclose(
+        np.asarray(out_sx.mean), np.asarray(out_eps.mean), rtol=1e-2, atol=1e-3
+    )
+
+
+def test_training_target_types():
+    x0, noise, t = _xt(jax.random.PRNGKey(6))
+    xt = G.q_sample(SCHED, x0, t, noise)
+    assert np.allclose(
+        np.asarray(G.training_target(SCHED, MeanType.START_X, x0, xt, noise, t)),
+        np.asarray(x0),
+    )
+    assert np.allclose(
+        np.asarray(G.training_target(SCHED, MeanType.EPSILON, x0, xt, noise, t)),
+        np.asarray(noise),
+    )
+
+
+def test_cfg_mixing_start_x():
+    """cfg_scale > 0: uncond/cond halves mixed in eps space."""
+    x0, noise, t = _xt(jax.random.PRNGKey(7), (2, 5, 4))
+    xt = G.q_sample(SCHED, x0, t, noise)
+    x2 = jnp.concatenate([xt, xt], 0)
+    t2 = jnp.concatenate([t, t], 0)
+    model_out = jnp.concatenate([x0 * 0.5, x0], 0)  # uncond, cond
+    out = G.p_mean_variance(
+        SCHED, model_out, x2, t2, MeanType.START_X, VarType.FIXED_LARGE, cfg_scale=1.0
+    )
+    # scale 1.0 -> pure cond prediction
+    out_cond = G.p_mean_variance(SCHED, x0, xt, t, MeanType.START_X, VarType.FIXED_LARGE)
+    np.testing.assert_allclose(
+        np.asarray(out.pred_xstart[:2]), np.asarray(out_cond.pred_xstart),
+        rtol=1e-3, atol=1e-4,
+    )

@@ -1,0 +1,83 @@
+"""Property tests for rotation conversions (pure math layer)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raggesture_tpu.ops import rotations as rot
+
+
+def random_aa(key, shape=(64, 3), max_angle=np.pi * 0.95):
+    k1, k2 = jax.random.split(key)
+    axis = jax.random.normal(k1, shape)
+    axis = axis / jnp.linalg.norm(axis, axis=-1, keepdims=True)
+    angle = jax.random.uniform(k2, shape[:-1] + (1,), minval=1e-4, maxval=max_angle)
+    return axis * angle
+
+
+def test_axis_angle_matrix_roundtrip():
+    aa = random_aa(jax.random.PRNGKey(0))
+    m = rot.axis_angle_to_matrix(aa)
+    aa2 = rot.matrix_to_axis_angle(m)
+    m2 = rot.axis_angle_to_matrix(aa2)
+    np.testing.assert_allclose(np.asarray(m), np.asarray(m2), atol=1e-5)
+
+
+def test_matrices_are_rotations():
+    aa = random_aa(jax.random.PRNGKey(1))
+    m = rot.axis_angle_to_matrix(aa)
+    eye = jnp.einsum("...ij,...kj->...ik", m, m)
+    np.testing.assert_allclose(
+        np.asarray(eye), np.broadcast_to(np.eye(3), eye.shape), atol=1e-5
+    )
+    det = jnp.linalg.det(m)
+    np.testing.assert_allclose(np.asarray(det), 1.0, atol=1e-5)
+
+
+def test_6d_roundtrip():
+    aa = random_aa(jax.random.PRNGKey(2))
+    m = rot.axis_angle_to_matrix(aa)
+    d6 = rot.matrix_to_rotation_6d(m)
+    m2 = rot.rotation_6d_to_matrix(d6)
+    np.testing.assert_allclose(np.asarray(m), np.asarray(m2), atol=1e-5)
+
+
+def test_6d_is_first_two_rows():
+    aa = random_aa(jax.random.PRNGKey(3), (8, 3))
+    m = rot.axis_angle_to_matrix(aa)
+    d6 = rot.matrix_to_rotation_6d(m)
+    np.testing.assert_allclose(
+        np.asarray(d6), np.asarray(m[..., :2, :].reshape(8, 6)), atol=0
+    )
+
+
+def test_small_angle_stability():
+    aa = jnp.array([[1e-9, 0.0, 0.0], [0.0, 0.0, 0.0]])
+    m = rot.axis_angle_to_matrix(aa)
+    np.testing.assert_allclose(
+        np.asarray(m), np.broadcast_to(np.eye(3), (2, 3, 3)), atol=1e-6
+    )
+    # gradients finite at zero rotation
+    g = jax.grad(lambda a: rot.axis_angle_to_matrix(a).sum())(jnp.zeros(3))
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_large_angle_quaternion_robustness():
+    # angles near pi exercise all four Shepperd candidates
+    aa = random_aa(jax.random.PRNGKey(4), (256, 3), max_angle=np.pi - 1e-3)
+    m = rot.axis_angle_to_matrix(aa)
+    m2 = rot.axis_angle_to_matrix(rot.matrix_to_axis_angle(m))
+    np.testing.assert_allclose(np.asarray(m), np.asarray(m2), atol=1e-4)
+
+
+def test_feature_conversions_shapes():
+    x = jnp.asarray(np.random.RandomState(0).randn(4, 10, 39).astype(np.float32)) * 0.3
+    d6 = rot.aa_feature_to_6d(x)
+    assert d6.shape == (4, 10, 78)
+    aa = rot.d6_feature_to_aa(d6)
+    assert aa.shape == (4, 10, 39)
+    # roundtrip through the rotation manifold is identity on matrices
+    m1 = rot.axis_angle_to_matrix(x.reshape(4, 10, 13, 3))
+    m2 = rot.axis_angle_to_matrix(aa.reshape(4, 10, 13, 3))
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), atol=1e-4)
