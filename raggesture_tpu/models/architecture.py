@@ -1,0 +1,448 @@
+"""MotionDiffusion: training loss and inference orchestration.
+
+Functional rebuild of the reference architecture (/root/reference/mogen/
+models/architectures/diffusion_architecture.py:64-582): the frozen 4-part
+VAE codec produces the 43-token latent sequence; training regresses the
+denoiser's x0 prediction with a masked, body-part-weighted MSE; inference
+runs DDPM/DDIM (optionally with DDIM inversion of retrieved exemplar latents,
+noise splicing, insertion guidance, outpainting, and prev-latent handoff for
+long-form synthesis) and decodes the result.
+
+Everything here is a pure function of (params, batch, rng) so the train step
+jits and shards with pjit, and the entire inference chain — conditions,
+inversion scans, guided sampling scan, VAE decode — compiles into one XLA
+program per shape signature.
+
+Key deviation from the reference (for TPU): the reference DDIM-inverts
+retrieved exemplars one (batch-item, query) at a time in a Python loop with
+batch-1 shapes (diffusion_architecture.py:323-354); we stack all exemplars
+into one batched inversion scan (``invert_exemplars``) — identical math,
+one compiled program, B-fold parallel on the MXU.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..diffusion import gaussian as G
+from ..diffusion import sampling as S
+from ..diffusion.gaussian import MeanType, VarType
+from ..diffusion.schedules import DiffusionSchedule, make_schedule
+from .codec import CodecConfig, GestureCodec, part_features
+from .conditioning import (
+    ScaleFuncConfig,
+    joint_scale_vector,
+    make_conditioned_model_fn,
+    make_mixed_model_fn,
+    scale_func_table,
+)
+from .denoiser import (
+    COND_KEYS,
+    DenoiserConfig,
+    GestureDenoiser,
+    default_query_masks,
+    latent_motion_mask,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class DiffusionSpec:
+    """diffusion_train / diffusion_test blocks of the shipped config
+    (configs/raggesture_beatx/basegesture_len150_beat.py:140-158)."""
+
+    beta_scheduler: str = "scaled_linear"
+    diffusion_steps: int = 1000
+    model_mean_type: str = "start_x"
+    model_var_type: str = "fixed_large"
+    respace: Optional[str] = None
+    num_inference_timesteps: Optional[int] = None
+    classifier_free_guidance_scale: float = 0.0
+
+    def schedule(self) -> DiffusionSchedule:
+        return make_schedule(
+            self.beta_scheduler, self.diffusion_steps, self.respace,
+            self.num_inference_timesteps,
+        )
+
+    @property
+    def mean_type(self) -> MeanType:
+        return MeanType(self.model_mean_type)
+
+    @property
+    def var_type(self) -> VarType:
+        return VarType(self.model_var_type)
+
+
+@dataclasses.dataclass(frozen=True)
+class ArchitectureConfig:
+    denoiser: DenoiserConfig = DenoiserConfig()
+    codec: CodecConfig = CodecConfig()
+    diffusion_train: DiffusionSpec = DiffusionSpec()
+    diffusion_test: DiffusionSpec = DiffusionSpec(
+        respace="15,15,8,6,6", num_inference_timesteps=50
+    )
+    scale_func: Optional[ScaleFuncConfig] = ScaleFuncConfig()
+    per_joint_scale: Optional[Dict[str, float]] = None
+    body_part_lossweights: Dict[str, float] = dataclasses.field(
+        default_factory=lambda: dict(upper=1.0, hands=1.0, face=1.0, lowertransl=1.0)
+    )
+    inference_type: str = "ddim"
+
+
+class MotionDiffusionModel(nn.Module):
+    """Bundle module: codec + denoiser under one parameter tree.
+
+    Param layout: {"params": {"codec": ..., "denoiser": ...}} — the codec
+    subtree is frozen at train time (optimizer masking), mirroring the
+    reference's requires_grad=False VAEs + VAE_FreezeHook."""
+
+    cfg: ArchitectureConfig = ArchitectureConfig()
+
+    def setup(self):
+        self.codec = GestureCodec(self.cfg.codec, name="codec")
+        self.denoiser = GestureDenoiser(self.cfg.denoiser, name="denoiser")
+
+    def encode_motion(self, batch: Dict[str, jnp.ndarray], rng=None, sample=True):
+        feats = part_features(
+            batch["motion_upper"], batch["motion_lower"], batch["motion_face"],
+            batch["motion_hands"], batch["trans"], batch["facial"],
+            batch["contact"],
+        )
+        return self.codec.encode(feats, batch.get("motion_mask"), rng=rng,
+                                 sample=sample)
+
+    def decode_latents(self, z):
+        return self.codec.decode(z)
+
+    def encode_conditions(self, batch):
+        return self.denoiser.encode_conditions(
+            batch["word"], batch["audio"], batch["speaker_ids"]
+        )
+
+    def denoise(self, latents, t_orig, token_mask, conds, query_masks,
+                cond_mask, deterministic=True):
+        return self.denoiser(latents, t_orig, token_mask, conds, query_masks,
+                             cond_mask, deterministic)
+
+    def __call__(self, batch, rng=None):
+        """Init-path: touch every submodule so flax creates all params."""
+        z, token_mask = self.encode_motion(batch, rng=rng, sample=False)
+        conds = self.encode_conditions(batch)
+        B = z.shape[0]
+        qm = default_query_masks(self.cfg.denoiser, B)
+        t = jnp.zeros((B,), jnp.int32)
+        cond_mask = jnp.ones((B, 1, 1))
+        out = self.denoise(z, t, token_mask, conds, qm, cond_mask)
+        dec = self.decode_latents(z)
+        return out, dec
+
+
+def lossweight_mask(cfg: ArchitectureConfig, token_mask: jnp.ndarray) -> jnp.ndarray:
+    """Per-token loss weights from body_part_lossweights
+    (diffusion_architecture.py:167-173)."""
+    w = jnp.ones_like(token_mask)
+    slices = cfg.denoiser.part_slices()
+    bw = cfg.body_part_lossweights
+    names = {"upper": "upper", "hands": "hands", "face": "face",
+             "lowertrans": "lowertransl"}
+    for part, sl in slices.items():
+        w = w.at[:, sl].set(bw[names[part]])
+    return w
+
+
+def training_loss(
+    model: MotionDiffusionModel,
+    params,
+    sched_train: DiffusionSchedule,
+    batch: Dict[str, jnp.ndarray],
+    rng: jax.Array,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """One training-loss evaluation (reference diffusion_architecture.py:
+    178-212 + gaussian_diffusion.training_losses :1432-1535).
+
+    Masked MSE between the denoiser's x0 prediction and the clean latents,
+    weighted per body part, normalized by the token mask sum."""
+    cfg = model.cfg
+    r_enc, r_t, r_noise, r_cond, r_drop = jax.random.split(rng, 5)
+
+    z0, token_mask = model.apply(
+        params, batch, rng=r_enc, sample=True, method=model.encode_motion
+    )
+    # the codec is frozen (reference: requires_grad=False VAEs +
+    # VAE_FreezeHook) — stop_gradient lets XLA DCE the codec backward
+    z0 = jax.lax.stop_gradient(z0)
+    token_mask = jax.lax.stop_gradient(token_mask)
+    B, T, D = z0.shape
+
+    t = jax.random.randint(r_t, (B,), 0, sched_train.num_timesteps)
+    noise = jax.random.normal(r_noise, z0.shape, z0.dtype)
+    x_t = G.q_sample(sched_train, z0, t, noise)
+
+    conds = model.apply(params, batch, method=model.encode_conditions)
+    qm = default_query_masks(cfg.denoiser, B)
+    # ~10% condition dropout: cond_type ~ U{0..99}, dropped when % 10 == 0
+    cond_type = jax.random.randint(r_cond, (B, 1, 1), 0, 100)
+    cond_mask = ((cond_type % 10) > 0).astype(z0.dtype)
+
+    pred = model.apply(
+        params, x_t, t, token_mask, conds, qm, cond_mask, False,
+        method=model.denoise, rngs={"dropout": r_drop},
+    )
+    target = G.training_target(sched_train, cfg.diffusion_train.mean_type,
+                               z0, x_t, noise, t)
+
+    sq = jnp.mean((pred - target) ** 2, axis=-1)  # (B, T)
+    lw = lossweight_mask(cfg, token_mask)
+    masked = sq * token_mask * lw
+    loss = masked.sum() / jnp.maximum(token_mask.sum(), 1.0)
+    logs = {"recon_loss": loss, "mse_unweighted": (sq * token_mask).sum()
+            / jnp.maximum(token_mask.sum(), 1.0)}
+    return loss, logs
+
+
+# ---------------------------------------------------------------------------
+# Inference
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class InferenceOptions:
+    """The inference_kwargs surface of the reference
+    (diffusion_architecture.py:214-249 + tools/visualize.py:74-95)."""
+
+    use_inversion: bool = False
+    insertion_guidance: bool = False
+    guidance_lr: float = 0.1
+    inversion_start_time: int = -1
+    outpaint: bool = False
+    use_prev_latent: bool = False
+    eta: float = 0.0
+
+    def validate(self):
+        if self.outpaint:
+            assert not self.use_inversion and not self.insertion_guidance
+        if self.insertion_guidance:
+            assert self.use_inversion
+        if self.use_prev_latent:
+            assert not self.outpaint
+
+
+def guidance_iters_schedule(name_or_list, num_steps: int = 50) -> jnp.ndarray:
+    """Named guidance-iteration schedules (tools/visualize.py:74-95).
+
+    Indexed by spaced step i (0 = cleanest).  ``decreasing_till_25`` =
+    [0]*25 + [0,1,...,24]: no guidance in the clean half, ramping iterations
+    toward the noisy half."""
+    if isinstance(name_or_list, (list, tuple)):
+        arr = list(name_or_list)
+    elif name_or_list == "decreasing_till_25":
+        arr = [0] * (num_steps // 2) + list(range(num_steps - num_steps // 2))
+    elif name_or_list == "increasing_from_25":
+        h = num_steps // 2
+        arr = list(range(h - 1, -1, -1)) + [0] * (num_steps - h)
+    elif name_or_list == "constant":
+        arr = [10] * num_steps
+    elif name_or_list == "none":
+        arr = [0] * num_steps
+    else:
+        raise ValueError(f"unknown guidance schedule {name_or_list}")
+    assert len(arr) == num_steps
+    return jnp.asarray(arr, dtype=jnp.int32)
+
+
+def masked_prev_latent(cfg: DenoiserConfig, prev_latent: jnp.ndarray) -> jnp.ndarray:
+    """Long-form handoff: move each part's LAST latent token to its FIRST
+    position, zero elsewhere (diffusion_architecture.py:286-297)."""
+    out = jnp.zeros_like(prev_latent)
+    for sl in cfg.part_slices().values():
+        first = sl.start
+        last = sl.stop - 1
+        out = out.at[:, first].set(prev_latent[:, last])
+    return out
+
+
+def zero_first_tokens(cfg: DenoiserConfig, inv: jnp.ndarray) -> jnp.ndarray:
+    """Zero each part's first token across all inversion steps — used with
+    prev-latent handoff so guidance never fights the handoff token
+    (diffusion_architecture.py:416-420). inv: (S, B, T, D)."""
+    for sl in cfg.part_slices().values():
+        inv = inv.at[:, :, sl.start, :].set(0.0)
+    return inv
+
+
+def generate(
+    model: MotionDiffusionModel,
+    params,
+    sched_test: DiffusionSchedule,
+    batch: Dict[str, jnp.ndarray],
+    rng: jax.Array,
+    opts: InferenceOptions = InferenceOptions(),
+    re_dict: Optional[Dict[str, Any]] = None,
+    guidance_iters: Optional[jnp.ndarray] = None,
+    prev_latent: Optional[jnp.ndarray] = None,
+) -> Dict[str, jnp.ndarray]:
+    """Full inference (diffusion_architecture.py:213-582).
+
+    ``re_dict`` is the retrieval product (host-assembled, device arrays):
+      raw_motion_latents (B, T, D)  - spliced exemplar latents (outpainting)
+      inv_latents   (Q, T, D)       - uncropped exemplar latents to invert
+      inv_conds     dict of stacked exemplar conditions (word/audio/speaker)
+      inv_mask      (Q, T)          - exemplar token masks
+      splice        (Q, 4) int      - (batch_idx, q_start, r_start, length)
+                                      in latent-token units, for the
+                                      upper+hands rows splice
+    Returns decoded parts + the raw output latents (prev_latentout)."""
+    opts.validate()
+    cfg = model.cfg
+    dcfg = cfg.denoiser
+    r_noise, r_coef, r_loop = jax.random.split(rng, 3)
+
+    z_gt, token_mask = model.apply(params, batch, rng=None, sample=False,
+                                   method=model.encode_motion)
+    B, T, D = z_gt.shape
+    conds = model.apply(params, batch, method=model.encode_conditions)
+    qm = default_query_masks(dcfg, B)
+
+    def bound_apply(x, t_orig, mmask, cc, qq, cm):
+        return model.apply(params, x, t_orig, mmask, cc, qq, cm, True,
+                           method=model.denoise)
+
+    # sampler model_fn with the scale-func condition mixing
+    if cfg.scale_func is not None:
+        coef_table = scale_func_table(r_coef, sched_test, cfg.scale_func,
+                                      cfg.diffusion_train.diffusion_steps)
+        js = joint_scale_vector(dcfg, cfg.per_joint_scale)
+        model_fn = make_mixed_model_fn(
+            lambda x, t, m, c, q, cm: bound_apply(x, t, m, c, q, cm),
+            conds, token_mask, qm, coef_table, js,
+        )
+    else:
+        model_fn = make_conditioned_model_fn(
+            lambda x, t, m, c, q, cm: bound_apply(x, t, m, c, q, cm),
+            conds, token_mask, qm,
+        )
+
+    mean_type = cfg.diffusion_test.mean_type
+    var_type = cfg.diffusion_test.var_type
+    cfg_scale = cfg.diffusion_test.classifier_free_guidance_scale
+    common = dict(mean_type=mean_type, var_type=var_type, cfg_scale=cfg_scale)
+
+    start_noise = jax.random.normal(r_noise, (B, T, D))
+    inv_all = None
+
+    if opts.use_inversion:
+        assert re_dict is not None and "inv_latents" in re_dict
+        inv_stack = invert_exemplars(model, params, sched_test, re_dict, **common)
+        start_noise, inv_all = splice_inverted(
+            dcfg, sched_test, start_noise, inv_stack, re_dict["splice"],
+            opts.inversion_start_time, with_guidance=opts.insertion_guidance,
+        )
+        if opts.insertion_guidance and opts.use_prev_latent and prev_latent is not None:
+            inv_all = zero_first_tokens(dcfg, inv_all)
+
+    in_seq = None
+    if opts.use_prev_latent and prev_latent is not None:
+        in_seq = masked_prev_latent(dcfg, prev_latent)
+    elif opts.outpaint:
+        rml = re_dict["raw_motion_latents"]
+        in_seq = rml[:, 0] if rml.ndim == 4 else rml
+
+    if cfg.inference_type == "ddpm":
+        out = S.ddpm_sample_loop(model_fn, sched_test, start_noise, r_loop,
+                                 **common)
+    elif opts.insertion_guidance:
+        gi = guidance_iters if guidance_iters is not None else \
+            guidance_iters_schedule("constant", sched_test.num_timesteps)
+        out = S.ddim_guided_sample_loop(
+            model_fn, sched_test, start_noise, r_loop,
+            inverted_latents=inv_all, guidance_iters=gi,
+            guidance_lr=opts.guidance_lr, eta=opts.eta,
+            init_in_seq=in_seq, **common,
+        )
+    else:
+        out = S.ddim_sample_loop(model_fn, sched_test, start_noise, r_loop,
+                                 eta=opts.eta, in_seq=in_seq, **common)
+
+    decoded = model.apply(params, out, method=model.decode_latents)
+    results = {f"pred_{k}": v for k, v in decoded.items()}
+    results["prev_latentout"] = out
+    results["output_latents"] = out
+    return results
+
+
+def invert_exemplars(model, params, sched_test, re_dict, *, mean_type,
+                     var_type, cfg_scale):
+    """Batched DDIM inversion of all retrieved exemplars at once.
+
+    Each exemplar is inverted under its OWN text/audio/speaker conditions
+    (diffusion_architecture.py:334-354).  Returns (S, Q, T, D): the inversion
+    trajectory of each exemplar, clean->noisy."""
+    inv_lat = re_dict["inv_latents"]          # (Q, T, D)
+    inv_conds = re_dict["inv_conds"]          # dict of (Q, ., .)
+    inv_mask = re_dict["inv_mask"]            # (Q, T)
+    Q = inv_lat.shape[0]
+
+    conds = model.apply(
+        params,
+        {"word": inv_conds["word"], "audio": inv_conds["audio"],
+         "speaker_ids": inv_conds["speaker_ids"]},
+        method=model.encode_conditions,
+    )
+    qm = default_query_masks(model.cfg.denoiser, Q)
+
+    def bound_apply(x, t_orig, step_idx):
+        cm = jnp.ones((x.shape[0], 1, 1), x.dtype)
+        return model.apply(params, x, t_orig, inv_mask, conds, qm, cm, True,
+                           method=model.denoise)
+
+    return S.ddim_reverse_sample_loop(
+        bound_apply, sched_test, inv_lat, mean_type=mean_type,
+        var_type=var_type, cfg_scale=cfg_scale, return_all_timesteps=True,
+    )
+
+
+def splice_inverted(dcfg: DenoiserConfig, sched, start_noise, inv_stack,
+                    splice, inversion_start_time: int, with_guidance: bool):
+    """Splice inverted exemplar windows into the start noise (upper + hands
+    rows only) and build the per-step guidance targets
+    (diffusion_architecture.py:386-420).
+
+    splice: (Q, 4) int32 rows (batch_idx, q_start, r_start, length) in latent
+    token units; length <= tokens_per_part.  Host-side (concrete) loop over
+    Q — the window placement is data layout, not compute."""
+    L = dcfg.tokens_per_part
+    S_steps = inv_stack.shape[0]
+    B, T, D = start_noise.shape
+    start_latents = inv_stack[inversion_start_time]  # (Q, T, D)
+
+    import numpy as np
+
+    splice_np = np.asarray(splice)
+    inv_all = (
+        jnp.zeros((S_steps, B, T, D), start_noise.dtype) if with_guidance else None
+    )
+
+    for q in range(splice_np.shape[0]):
+        b, q_start, r_start, ln = (int(v) for v in splice_np[q])
+        if ln <= 0:
+            continue
+        for off in (0, L + 1):  # upper row, hands row
+            src = jax.lax.dynamic_slice(
+                start_latents[q], (off + r_start, 0), (ln, D)
+            )
+            start_noise = jax.lax.dynamic_update_slice(
+                start_noise, src[None], (b, off + q_start, 0)
+            )
+            if with_guidance:
+                seg = jax.lax.dynamic_slice(
+                    inv_stack[:, q], (0, off + r_start, 0), (S_steps, ln, D)
+                )
+                inv_all = jax.lax.dynamic_update_slice(
+                    inv_all, seg[:, None], (0, b, off + q_start, 0)
+                )
+    return start_noise, inv_all

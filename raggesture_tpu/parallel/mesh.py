@@ -1,0 +1,53 @@
+"""Device mesh + sharding helpers.
+
+The reference's ONLY parallelism is data parallelism (NCCL DDP /
+MMDataParallel + DistributedSampler — /root/reference/mogen/apis/train.py:
+84-92, mogen/datasets/samplers/distributed_sampler.py:5-42).  The TPU-native
+equivalent: a 1-D ``jax.sharding.Mesh`` over all chips (ICI within a slice,
+DCN across slices), batch sharded over the ``data`` axis, parameters
+replicated.  Gradient all-reduce is inserted by XLA inside the jitted train
+step — no manual bucketing/coalescing (mogen/utils/dist_utils.py:12-44
+becomes obsolete).
+
+The latent sequence is 43 tokens — there is nothing to gain from tensor/
+sequence parallelism at this model size (see SURVEY.md §5), so the mesh is
+deliberately 1-D; the helpers still accept arbitrary mesh shapes for
+forward-compatibility.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(n_devices: Optional[int] = None, axis_name: str = DATA_AXIS) -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
+    """Leading (batch) dim sharded over the data axis."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh, axis_name: str = DATA_AXIS):
+    """Place a host batch dict onto the mesh, sharded along the batch dim."""
+    sh = batch_sharding(mesh, axis_name)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate_tree(tree, mesh: Mesh):
+    rep = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), tree)

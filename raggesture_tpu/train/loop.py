@@ -1,0 +1,135 @@
+"""Training: optax optimizer, frozen-codec partition, jitted+sharded step.
+
+Replaces the reference's mmcv EpochBasedRunner + MMDistributedDataParallel +
+hooks (/root/reference/mogen/apis/train.py:41-173, mogen/core/
+model_freeze_hooks.py:13-44, mogen/core/optimizer/builder.py:8-52) with:
+
+  - optax Adam (lr 1e-4) + cosine annealing to lr*1e-6 (the mmcv
+    ``CosineAnnealing, min_lr_ratio=1e-6, by_epoch=False`` policy)
+  - codec freezing as a *parameter partition*: the codec subtree gets
+    ``optax.set_to_zero`` and ``stop_gradient`` on its outputs — no epoch
+    hook needed, XLA dead-code-eliminates the frozen backward
+  - one jitted train step over a data-parallel Mesh: batch sharded on the
+    ``data`` axis, params replicated, gradient all-reduce inserted by XLA
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.core import FrozenDict
+
+from ..diffusion.schedules import DiffusionSchedule
+from ..models.architecture import MotionDiffusionModel, training_loss
+from ..parallel.mesh import batch_sharding, make_mesh, replicated
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimConfig:
+    """configs/raggesture_beatx/basegesture_len150_beat.py:12-17."""
+
+    lr: float = 1e-4
+    min_lr_ratio: float = 1e-6
+    total_steps: int = 100_000  # max_epochs * steps_per_epoch, set by caller
+    grad_clip: Optional[float] = None
+    weight_decay: float = 0.0
+    b1: float = 0.9
+    b2: float = 0.999
+
+
+def param_labels(params) -> Any:
+    """Label the codec subtree 'frozen', everything else 'trainable'."""
+
+    def label(path, _):
+        names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+        return "frozen" if "codec" in names else "trainable"
+
+    return jax.tree_util.tree_map_with_path(label, params)
+
+
+def make_optimizer(cfg: OptimConfig, params) -> optax.GradientTransformation:
+    schedule = optax.cosine_decay_schedule(
+        init_value=cfg.lr, decay_steps=cfg.total_steps,
+        alpha=cfg.min_lr_ratio,
+    )
+    chain = []
+    if cfg.grad_clip is not None:
+        chain.append(optax.clip_by_global_norm(cfg.grad_clip))
+    chain.append(optax.adamw(schedule, b1=cfg.b1, b2=cfg.b2,
+                             weight_decay=cfg.weight_decay)
+                 if cfg.weight_decay > 0 else
+                 optax.adam(schedule, b1=cfg.b1, b2=cfg.b2))
+    tx = optax.chain(*chain)
+    return optax.multi_transform(
+        {"trainable": tx, "frozen": optax.set_to_zero()},
+        param_labels(params),
+    )
+
+
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+    def tree_flatten(self):
+        return (self.params, self.opt_state, self.step), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+jax.tree_util.register_pytree_node(
+    TrainState, TrainState.tree_flatten, TrainState.tree_unflatten
+)
+
+
+def create_train_state(model: MotionDiffusionModel, params,
+                       optim_cfg: OptimConfig) -> Tuple[TrainState, optax.GradientTransformation]:
+    tx = make_optimizer(optim_cfg, params)
+    return TrainState(params=params, opt_state=tx.init(params),
+                      step=jnp.zeros((), jnp.int32)), tx
+
+
+def make_train_step(model: MotionDiffusionModel, tx,
+                    sched_train: DiffusionSchedule):
+    """Build the pure train-step fn (jit/pjit-ready)."""
+
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
+                   rng: jax.Array):
+        rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            return training_loss(model, params, sched_train, batch, rng)
+
+        (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params=params, opt_state=opt_state,
+                               step=state.step + 1)
+        logs = dict(logs)
+        logs["grad_norm"] = optax.global_norm(grads)
+        return new_state, logs
+
+    return train_step
+
+
+def jit_train_step(train_step, mesh):
+    """Jit the step with data-parallel shardings: state replicated, batch
+    sharded on the batch dim (XLA inserts the gradient all-reduce)."""
+    rep = replicated(mesh)
+    bsh = batch_sharding(mesh)
+    return jax.jit(
+        train_step,
+        in_shardings=(rep, bsh, rep),
+        out_shardings=(rep, rep),
+        donate_argnums=(0,),
+    )

@@ -34,5 +34,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402  (env above must be set first)
 
+# sitecustomize (/root/.axon_site) imports jax at interpreter startup, which
+# latches JAX_PLATFORMS=axon before this file runs — override via config.
+jax.config.update("jax_platforms", "cpu")
 # the env var spelling is not honored for this option in this jax version
 jax.config.update("jax_default_matmul_precision", "highest")
