@@ -18,7 +18,9 @@ import jax.numpy as jnp
 
 def main():
     from raggesture_tpu.datasets.fixtures import full_arch_config, synthetic_batch
-    from raggesture_tpu.models.architecture import MotionDiffusionModel, generate
+    from raggesture_tpu.models.architecture import (
+        MotionDiffusionModel, StagedGenerator, init_params,
+    )
     from raggesture_tpu.utils.env import setup_compilation_cache
 
     setup_compilation_cache()
@@ -26,14 +28,12 @@ def main():
     model = MotionDiffusionModel(cfg)
     batch = synthetic_batch(seed=0, batch=1, frames=cfg.codec.num_frames,
                             audio_frames=499)
-    params = jax.jit(model.init)(
-        {"params": jax.random.PRNGKey(0), "vae": jax.random.PRNGKey(1)}, batch
-    )
+    params = init_params(model, jax.random.PRNGKey(0), batch)
     sched = cfg.diffusion_test.schedule()
+    gen = StagedGenerator(model, params, sched)
 
-    @jax.jit
     def run(rng):
-        out = generate(model, params, sched, batch, rng)
+        out = gen(batch, rng)
         return out["pred_upper"], out["pred_hands"], out["output_latents"]
 
     # warmup / compile

@@ -142,6 +142,64 @@ class MotionDiffusionModel(nn.Module):
         return out, dec
 
 
+def init_params(model: MotionDiffusionModel, rng: jax.Array,
+                batch: Dict[str, jnp.ndarray]):
+    """Initialize parameters submodule-by-submodule.
+
+    One monolithic ``model.init`` traces 4 VAE encoders+decoders plus the
+    denoiser into a single XLA program whose compile time blows up
+    super-linearly (>25 min on the remote compiler vs ~10 s per submodule).
+    Each part is initialized in its own small jit and the trees are
+    assembled into the exact structure ``model.init`` would produce."""
+    from .codec import PART_NAMES, TransformerVAE
+    from .denoiser import GestureDenoiser
+
+    cfg = model.cfg
+    B = batch["motion_upper"].shape[0]
+    keys = jax.random.split(rng, len(PART_NAMES) + 1)
+
+    codec_params = {}
+    for i, part in enumerate(PART_NAMES):
+        vcfg = cfg.codec.vae_config(part)
+        vae = TransformerVAE(vcfg)
+        x = jnp.zeros((1, cfg.codec.num_frames, vcfg.nfeats))
+
+        @jax.jit
+        def vae_init(key, x=x, vae=vae):
+            pe = vae.init(key, x, sample=False, method=vae.encode_to_dist)
+            z = jnp.zeros((1, cfg.codec.tokens_per_part, vcfg.latent_dim))
+            pd = vae.init(key, z, method=vae.decode)
+            # merge: encode and decode touch disjoint + shared submodules
+            merged = dict(pd["params"])
+            merged.update(pe["params"])
+            return {"params": merged}
+
+        codec_params[f"{part}_vae"] = vae_init(keys[i])["params"]
+
+    den = GestureDenoiser(cfg.denoiser)
+    dn = cfg.denoiser
+    lat = jnp.zeros((1, dn.num_tokens, dn.latent_dim))
+    t = jnp.zeros((1,), jnp.int32)
+    mask = jnp.ones((1, dn.num_tokens))
+    conds_raw = {
+        "word": jnp.zeros((1, 4, dn.text_latent_dim)),
+        "audio": jnp.zeros((1, 4, dn.audio_latent_dim)),
+        "speaker_ids": jnp.zeros((1,), jnp.int32),
+    }
+
+    @jax.jit
+    def den_init(key):
+        def run(mdl):
+            conds = mdl.encode_conditions(conds_raw["word"], conds_raw["audio"],
+                                          conds_raw["speaker_ids"])
+            qm = default_query_masks(dn, 1)
+            return mdl(lat, t, mask, conds, qm, jnp.ones((1, 1, 1)))
+        return nn.init(run, den)(key)
+
+    den_params = den_init(keys[-1])["params"]
+    return {"params": {"codec": codec_params, "denoiser": den_params}}
+
+
 def lossweight_mask(cfg: ArchitectureConfig, token_mask: jnp.ndarray) -> jnp.ndarray:
     """Per-token loss weights from body_part_lossweights
     (diffusion_architecture.py:167-173)."""
@@ -373,6 +431,166 @@ def generate(
     results["prev_latentout"] = out
     results["output_latents"] = out
     return results
+
+
+class StagedGenerator:
+    """Inference split into separately-jitted stages.
+
+    One monolithic ``generate`` program (4 VAE encodes + condition encoders +
+    a 50-step denoiser scan + 4 VAE decodes) compiles super-linearly slowly
+    on the remote TPU compiler; staging it into four jits (encode / conds /
+    sampling scan / decode) costs only a few small host round-trips and
+    compiles in minutes, with each stage cached independently.
+
+    Supports the same options as :func:`generate` (inversion + insertion
+    guidance + prev-latent + outpaint)."""
+
+    def __init__(self, model: MotionDiffusionModel, params,
+                 sched_test: DiffusionSchedule):
+        self.model = model
+        self.params = params
+        self.sched = sched_test
+        cfg = model.cfg
+
+        self._encode = jax.jit(
+            lambda p, b: model.apply(p, b, rng=None, sample=False,
+                                     method=model.encode_motion)
+        )
+        self._conds = jax.jit(
+            lambda p, b: model.apply(p, b, method=model.encode_conditions)
+        )
+        self._decode = jax.jit(
+            lambda p, z: model.apply(p, z, method=model.decode_latents)
+        )
+
+        mean_type = cfg.diffusion_test.mean_type
+        var_type = cfg.diffusion_test.var_type
+        cfg_scale = cfg.diffusion_test.classifier_free_guidance_scale
+        self._common = dict(mean_type=mean_type, var_type=var_type,
+                            cfg_scale=cfg_scale)
+
+        def bound_apply(p, x, t_orig, mmask, cc, qq, cm):
+            return model.apply(p, x, t_orig, mmask, cc, qq, cm, True,
+                               method=model.denoise)
+
+        def ddim_loop(p, noise, rng, conds, token_mask, coef_table, js,
+                      in_seq, use_in_seq):
+            qm = default_query_masks(cfg.denoiser, noise.shape[0])
+            model_fn = make_mixed_model_fn(
+                lambda *a: bound_apply(p, *a), conds, token_mask, qm,
+                coef_table, js,
+            ) if cfg.scale_func is not None else make_conditioned_model_fn(
+                lambda *a: bound_apply(p, *a), conds, token_mask, qm,
+            )
+            return S.ddim_sample_loop(
+                model_fn, sched_test, noise, rng,
+                in_seq=in_seq if use_in_seq else None, **self._common,
+            )
+
+        self._ddim_plain = jax.jit(partial(ddim_loop, use_in_seq=False),
+                                   static_argnames=())
+        self._ddim_inseq = jax.jit(partial(ddim_loop, use_in_seq=True))
+
+        def guided_loop(p, noise, rng, conds, token_mask, coef_table, js,
+                        inv_all, gi, lr, init_in_seq):
+            qm = default_query_masks(cfg.denoiser, noise.shape[0])
+            model_fn = make_mixed_model_fn(
+                lambda *a: bound_apply(p, *a), conds, token_mask, qm,
+                coef_table, js,
+            ) if cfg.scale_func is not None else make_conditioned_model_fn(
+                lambda *a: bound_apply(p, *a), conds, token_mask, qm,
+            )
+            return S.ddim_guided_sample_loop(
+                model_fn, sched_test, noise, rng, inverted_latents=inv_all,
+                guidance_iters=gi, guidance_lr=lr, init_in_seq=init_in_seq,
+                **self._common,
+            )
+
+        self._guided = jax.jit(guided_loop)
+
+        def invert_loop(p, inv_lat, inv_mask, conds):
+            Q = inv_lat.shape[0]
+            qm = default_query_masks(cfg.denoiser, Q)
+
+            def mf(x, t_orig, step_idx):
+                cm = jnp.ones((x.shape[0], 1, 1), x.dtype)
+                return bound_apply(p, x, t_orig, inv_mask, conds, qm, cm)
+
+            return S.ddim_reverse_sample_loop(
+                mf, sched_test, inv_lat, return_all_timesteps=True,
+                **self._common,
+            )
+
+        self._invert = jax.jit(invert_loop)
+
+    def __call__(self, batch, rng, opts: InferenceOptions = InferenceOptions(),
+                 re_dict=None, guidance_iters=None, prev_latent=None):
+        opts.validate()
+        cfg = self.model.cfg
+        dcfg = cfg.denoiser
+        p = self.params
+        r_noise, r_coef, r_loop = jax.random.split(rng, 3)
+
+        z_gt, token_mask = self._encode(p, batch)
+        B, T, D = z_gt.shape
+        conds = self._conds(p, {"word": batch["word"], "audio": batch["audio"],
+                                "speaker_ids": batch["speaker_ids"]})
+        coef_table = (
+            scale_func_table(r_coef, self.sched, cfg.scale_func,
+                             cfg.diffusion_train.diffusion_steps)
+            if cfg.scale_func is not None
+            else jnp.zeros((self.sched.num_timesteps, 4))
+        )
+        js = joint_scale_vector(dcfg, cfg.per_joint_scale)
+        start_noise = jax.random.normal(r_noise, (B, T, D))
+        inv_all = None
+
+        if opts.use_inversion:
+            inv_conds = self._conds(p, {
+                "word": jnp.asarray(re_dict["inv_conds"]["word"]),
+                "audio": jnp.asarray(re_dict["inv_conds"]["audio"]),
+                "speaker_ids": jnp.asarray(re_dict["inv_conds"]["speaker_ids"]),
+            })
+            inv_stack = self._invert(p, jnp.asarray(re_dict["inv_latents"]),
+                                     jnp.asarray(re_dict["inv_mask"]), inv_conds)
+            start_noise, inv_all = splice_inverted(
+                dcfg, self.sched, start_noise, inv_stack, re_dict["splice"],
+                opts.inversion_start_time,
+                with_guidance=opts.insertion_guidance,
+            )
+            if (opts.insertion_guidance and opts.use_prev_latent
+                    and prev_latent is not None):
+                inv_all = zero_first_tokens(dcfg, inv_all)
+
+        in_seq = jnp.zeros_like(start_noise)
+        use_in_seq = False
+        if opts.use_prev_latent and prev_latent is not None:
+            in_seq = masked_prev_latent(dcfg, prev_latent)
+            use_in_seq = True
+        elif opts.outpaint:
+            rml = jnp.asarray(re_dict["raw_motion_latents"])
+            in_seq = rml[:, 0] if rml.ndim == 4 else rml
+            use_in_seq = True
+
+        if opts.insertion_guidance:
+            gi = guidance_iters if guidance_iters is not None else \
+                guidance_iters_schedule("constant", self.sched.num_timesteps)
+            out = self._guided(p, start_noise, r_loop, conds, token_mask,
+                               coef_table, js, inv_all, gi,
+                               opts.guidance_lr, in_seq)
+        elif use_in_seq:
+            out = self._ddim_inseq(p, start_noise, r_loop, conds, token_mask,
+                                   coef_table, js, in_seq)
+        else:
+            out = self._ddim_plain(p, start_noise, r_loop, conds, token_mask,
+                                   coef_table, js, in_seq)
+
+        decoded = self._decode(p, out)
+        results = {f"pred_{k}": v for k, v in decoded.items()}
+        results["prev_latentout"] = out
+        results["output_latents"] = out
+        results["gt_latents"] = z_gt
+        return results
 
 
 def invert_exemplars(model, params, sched_test, re_dict, *, mean_type,
