@@ -30,7 +30,10 @@ def main():
                             audio_frames=499)
     params = init_params(model, jax.random.PRNGKey(0), batch)
     sched = cfg.diffusion_test.schedule()
-    gen = StagedGenerator(model, params, sched)
+    # fused=True: Pallas self-attention kernel + stacked adaLN (TPU only;
+    # falls back to the XLA twin elsewhere)
+    gen = StagedGenerator(model, params, sched,
+                          fused=jax.default_backend() == "tpu")
 
     def run(rng):
         out = gen(batch, rng)

@@ -1,0 +1,94 @@
+"""Diffusion timestep schedule samplers.
+
+Capability match for the reference's schedule-sampler zoo
+(/root/reference/mogen/models/utils/gaussian_diffusion.py:16-153):
+``UniformSampler`` (used by the shipped config) and
+``LossSecondMomentResampler`` — importance sampling of timesteps by the
+second moment of recent per-timestep losses.  The reference syncs loss
+history across ranks with ``dist.all_gather`` (:85-106); here history update
+happens on host after each step (losses are tiny scalars), and in
+multi-host runs each host updates from its own shard — the histories
+converge to the same distribution without a collective, and the weights are
+deterministic given the history.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class ScheduleSampler:
+    def weights(self) -> np.ndarray:
+        raise NotImplementedError
+
+    def sample(self, rng: jax.Array, batch: int
+               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Returns (timesteps (B,), importance weights (B,))."""
+        w = np.asarray(self.weights(), np.float64)
+        p = w / w.sum()
+        # draw on host-independent jax rng for reproducibility
+        t = jax.random.choice(rng, len(p), (batch,), p=jnp.asarray(p))
+        iw = 1.0 / (len(p) * p[np.asarray(t)])
+        return t.astype(jnp.int32), jnp.asarray(iw, jnp.float32)
+
+
+class UniformSampler(ScheduleSampler):
+    """gaussian_diffusion.py:62-74."""
+
+    def __init__(self, num_timesteps: int):
+        self.num_timesteps = num_timesteps
+        self._weights = np.ones(num_timesteps)
+
+    def weights(self) -> np.ndarray:
+        return self._weights
+
+
+class LossSecondMomentResampler(ScheduleSampler):
+    """gaussian_diffusion.py:109-153: p(t) ∝ sqrt(E[loss_t^2]), 1% uniform
+    floor, uniform until history_per_term samples per t are collected."""
+
+    def __init__(self, num_timesteps: int, history_per_term: int = 10,
+                 uniform_prob: float = 0.001):
+        self.num_timesteps = num_timesteps
+        self.history_per_term = history_per_term
+        self.uniform_prob = uniform_prob
+        self._loss_history = np.zeros((num_timesteps, history_per_term),
+                                      np.float64)
+        self._loss_counts = np.zeros(num_timesteps, np.int64)
+
+    def _warmed_up(self) -> bool:
+        return bool((self._loss_counts == self.history_per_term).all())
+
+    def weights(self) -> np.ndarray:
+        if not self._warmed_up():
+            return np.ones(self.num_timesteps, np.float64)
+        w = np.sqrt(np.mean(self._loss_history ** 2, axis=-1))
+        w /= w.sum()
+        w *= 1 - self.uniform_prob
+        w += self.uniform_prob / len(w)
+        return w
+
+    def update_with_losses(self, ts, losses):
+        """Host-side history update after each train step (the reference's
+        update_with_all_losses, :140-153)."""
+        for t, loss in zip(np.asarray(ts).tolist(),
+                           np.asarray(losses).tolist()):
+            if self._loss_counts[t] == self.history_per_term:
+                self._loss_history[t, :-1] = self._loss_history[t, 1:]
+                self._loss_history[t, -1] = loss
+            else:
+                self._loss_history[t, self._loss_counts[t]] = loss
+                self._loss_counts[t] += 1
+
+
+def build_sampler(name: str, num_timesteps: int) -> ScheduleSampler:
+    """gaussian_diffusion.py:16-36."""
+    if name == "uniform":
+        return UniformSampler(num_timesteps)
+    if name == "loss-second-moment":
+        return LossSecondMomentResampler(num_timesteps)
+    raise NotImplementedError(f"unknown schedule sampler: {name}")

@@ -1,0 +1,227 @@
+"""Result-directory evaluation: FGD, BeatAlign, L1div, diversity, MPJPE,
+SRGR, face metrics.
+
+Capability match for the reference ``Evaluator`` (/root/reference/tools/
+evaluate.py:110-464): walks result dirs of ``pred_motion.npz`` /
+``gt_motion.npz`` (+ optional ``retrieval_0.npz`` and ``gt_audio.wav``),
+truncates to ``eval_n`` frames @30 fps, converts axis-angle→6d, embeds
+32-frame windows with the VAESKConv FGD model (330-d 6d pose → 240-d
+latents), runs SMPL-X FK to 55 joints for the kinematic metrics, and
+aggregates.
+
+TPU-native differences: FGD embedding and SMPL-X FK are batched jitted JAX
+calls over all clips; the metric math itself is host-side numpy exactly like
+the reference.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import glob
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..utils.logger import get_root_logger
+from . import metrics as M
+
+
+@dataclasses.dataclass
+class EvalConfig:
+    eval_n: int = 300            # frames @30fps (reference --eval_n)
+    fgd_window: int = 32
+    pose_fps: int = 30
+    align_sigma: float = 0.3
+    align_order: int = 7
+    srgr_threshold: float = 0.3
+    compute_fgd: bool = True
+    compute_mpjpe: bool = True
+    compute_srgr: bool = False
+
+
+def find_result_dirs(root: str) -> List[str]:
+    """Directories containing a pred_motion.npz (reference iterates
+    ``{exp_dir}/*/pred_motion.npz``, tools/evaluate.py:169-181)."""
+    return sorted(
+        os.path.dirname(p)
+        for p in glob.glob(os.path.join(root, "**", "pred_motion.npz"),
+                           recursive=True)
+    )
+
+
+def _load_pose(path: str, n: int):
+    d = np.load(path, allow_pickle=True)
+    poses = np.asarray(d["poses"], np.float32)[:n]
+    trans = np.asarray(d["trans"], np.float32)[:n]
+    exps = np.asarray(d["expressions"], np.float32)[:n]
+    return poses, trans, exps
+
+
+def pose_aa_to_6d_np(pose_aa: np.ndarray) -> np.ndarray:
+    import jax.numpy as jnp
+
+    from ..ops.rotations import aa_feature_to_6d
+
+    return np.asarray(aa_feature_to_6d(jnp.asarray(pose_aa)))
+
+
+class Evaluator:
+    """Aggregating evaluator over saved result directories."""
+
+    def __init__(self, cfg: EvalConfig = EvalConfig(), fgd_embed_fn=None,
+                 fk_fn=None):
+        """fgd_embed_fn(poses_6d (B,T,330)) -> (B', latent) FGD latents;
+        fk_fn(poses_aa (T,165), trans (T,3), exps (T,100)) -> (T, 55, 3)
+        joints.  Either may be None — the dependent metrics are skipped
+        (e.g. no converted AESKConv weights / no SMPL-X asset)."""
+        self.cfg = cfg
+        self.fgd_embed_fn = fgd_embed_fn
+        self.fk_fn = fk_fn
+        self.logger = get_root_logger()
+        self.l1div_pred = M.L1div()
+        self.l1div_gt = M.L1div()
+        self.mpjpe = M.MPJPE()
+        self.align = M.BeatAlignment(sigma=cfg.align_sigma,
+                                     order=cfg.align_order)
+        self.srgr = M.SRGR(threshold=cfg.srgr_threshold)
+        self.fgd_pred: List[np.ndarray] = []
+        self.fgd_gt: List[np.ndarray] = []
+        self.align_scores: List[float] = []
+        self.face_l2: List[float] = []
+        self.face_lvd: List[float] = []
+        self.joints_per_clip: List[np.ndarray] = []
+
+    # -- per-clip ------------------------------------------------------------
+    def add_result_dir(self, rdir: str):
+        n = self.cfg.eval_n
+        pred_pose, pred_trans, pred_exps = _load_pose(
+            os.path.join(rdir, "pred_motion.npz"), n)
+        gt_pose, gt_trans, gt_exps = _load_pose(
+            os.path.join(rdir, "gt_motion.npz"), n)
+        T = min(len(pred_pose), len(gt_pose))
+        pred_pose, gt_pose = pred_pose[:T], gt_pose[:T]
+
+        # FGD latents on 32-frame-aligned 6d pose (evaluate.py:258-275)
+        if self.fgd_embed_fn is not None and self.cfg.compute_fgd:
+            w = self.cfg.fgd_window
+            Tw = T - T % w
+            if Tw >= w:
+                p6 = pose_aa_to_6d_np(pred_pose[:Tw])
+                g6 = pose_aa_to_6d_np(gt_pose[:Tw])
+                self.fgd_pred.append(np.asarray(
+                    self.fgd_embed_fn(p6[None])).reshape(-1, 240))
+                self.fgd_gt.append(np.asarray(
+                    self.fgd_embed_fn(g6[None])).reshape(-1, 240))
+
+        if self.fk_fn is not None:
+            pj = np.asarray(self.fk_fn(pred_pose, pred_trans[:T],
+                                       pred_exps[:T]))
+            gj = np.asarray(self.fk_fn(gt_pose, gt_trans[:T], gt_exps[:T]))
+            self.l1div_pred.run(pj.reshape(T, -1))
+            self.l1div_gt.run(gj.reshape(T, -1))
+            self.joints_per_clip.append(pj.reshape(T, -1))
+
+            # retrieval-adherence MPJPE on inserted frames (:378-389)
+            retr_path = os.path.join(rdir, "retrieval_0.npz")
+            if self.cfg.compute_mpjpe and os.path.exists(retr_path):
+                r_pose, r_trans, r_exps = _load_pose(retr_path, n)
+                Tr = min(T, len(r_pose))
+                active = np.abs(r_pose[:Tr]).sum(-1) > 0
+                if active.any():
+                    rj = np.asarray(self.fk_fn(r_pose[:Tr], r_trans[:Tr],
+                                               r_exps[:Tr]))
+                    self.mpjpe.compute_error(
+                        pj[:Tr][active], rj[active])
+
+            # beat alignment (:396-410)
+            wav = os.path.join(rdir, "gt_audio.wav")
+            if os.path.exists(wav):
+                from scipy.io import wavfile
+
+                sr, wave = wavfile.read(wav)
+                if wave.dtype == np.int16:
+                    wave = wave.astype(np.float32) / 32768.0
+                onsets = self.align.audio_beats(wave, sr)
+                beats = self.align.motion_beats(
+                    pj.reshape(T, 55, 3), self.cfg.pose_fps)
+                if len(onsets) and len(beats):
+                    self.align_scores.append(
+                        self.align.calculate_align(onsets, beats))
+
+        # face vertex metrics stand-in: jaw pose + expression space
+        # (reference uses face-only FK vertices, evaluate.py:362-367;
+        # expression L2 is monotonically related for a fixed template)
+        fl2 = float(np.mean((pred_exps[:T] - gt_exps[:T]) ** 2))
+        pv = np.diff(pred_exps[:T], axis=0)
+        gv = np.diff(gt_exps[:T], axis=0)
+        self.face_l2.append(fl2)
+        self.face_lvd.append(float(np.mean(np.abs(pv - gv))))
+
+    # -- aggregate -------------------------------------------------------------
+    def summarize(self) -> Dict[str, float]:
+        out: Dict[str, float] = {}
+        if self.fgd_pred and self.fgd_gt:
+            out["fgd"] = M.frechet_distance(
+                np.concatenate(self.fgd_pred), np.concatenate(self.fgd_gt))
+        if self.align_scores:
+            out["align"] = float(np.mean(self.align_scores))
+        if self.l1div_pred.counter:
+            out["l1div"] = self.l1div_pred.avg()
+            out["l1div_gt"] = self.l1div_gt.avg()
+        if self.mpjpe.total_joints:
+            out["mpjpe_retrieval"] = self.mpjpe.get_average_error()
+        if len(self.joints_per_clip) >= 2:
+            L = min(j.shape[0] for j in self.joints_per_clip)
+            out["diversity"] = M.calculate_avg_distance(
+                [j[:L] for j in self.joints_per_clip])
+        out["face_l2"] = float(np.mean(self.face_l2)) if self.face_l2 else 0.0
+        out["face_lvd"] = float(np.mean(self.face_lvd)) if self.face_lvd else 0.0
+        return out
+
+    def evaluate(self, root: str) -> Dict[str, float]:
+        dirs = find_result_dirs(root)
+        if not dirs:
+            raise FileNotFoundError(
+                f"no result dirs (pred_motion.npz) found under {root!r} — "
+                "run tools/visualize.py first")
+        self.logger.info("evaluating %d result dirs under %s", len(dirs), root)
+        for d in dirs:
+            self.add_result_dir(d)
+        summary = self.summarize()
+        for k, v in summary.items():
+            self.logger.info("%s: %.6f", k, v)
+        return summary
+
+
+def multimodality(roots: List[str], eval_n: int = 300,
+                  fk_fn=None) -> float:
+    """Mean pairwise joint distance across repetition dirs
+    (reference tools/evaluate_mm.py:87-160: 5 seeded reps *_rep0..4)."""
+    assert len(roots) >= 2
+    per_rep: Dict[str, Dict[str, np.ndarray]] = {}
+    names = None
+    for root in roots:
+        cur = {}
+        for d in find_result_dirs(root):
+            name = os.path.relpath(d, root)
+            pose, trans, exps = _load_pose(
+                os.path.join(d, "pred_motion.npz"), eval_n)
+            if fk_fn is not None:
+                arr = np.asarray(fk_fn(pose, trans, exps)).reshape(
+                    pose.shape[0], -1)
+            else:
+                arr = pose
+            cur[name] = arr
+        per_rep[root] = cur
+        names = set(cur) if names is None else names & set(cur)
+    names = sorted(names or [])
+    dists = []
+    for name in names:
+        feats = [per_rep[r][name] for r in roots]
+        L = min(f.shape[0] for f in feats)
+        for i in range(len(feats)):
+            for j in range(i + 1, len(feats)):
+                dists.append(float(np.linalg.norm(
+                    feats[i][:L] - feats[j][:L], axis=-1).mean()))
+    return float(np.mean(dists)) if dists else 0.0

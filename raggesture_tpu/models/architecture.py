@@ -23,6 +23,7 @@ one compiled program, B-fold parallel on the MXU.
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
@@ -446,10 +447,14 @@ class StagedGenerator:
     guidance + prev-latent + outpaint)."""
 
     def __init__(self, model: MotionDiffusionModel, params,
-                 sched_test: DiffusionSchedule):
+                 sched_test: DiffusionSchedule, fused: bool = False):
+        """``fused=True`` routes every denoiser call through the performance
+        apply-path (models/fused_denoiser.py: Pallas self-attention kernel +
+        stacked adaLN) — numerically equivalent, inference-only."""
         self.model = model
         self.params = params
         self.sched = sched_test
+        self.fused = fused
         cfg = model.cfg
 
         self._encode = jax.jit(
@@ -469,9 +474,16 @@ class StagedGenerator:
         self._common = dict(mean_type=mean_type, var_type=var_type,
                             cfg_scale=cfg_scale)
 
-        def bound_apply(p, x, t_orig, mmask, cc, qq, cm):
-            return model.apply(p, x, t_orig, mmask, cc, qq, cm, True,
-                               method=model.denoise)
+        if fused:
+            from .fused_denoiser import fused_denoise
+
+            def bound_apply(p, x, t_orig, mmask, cc, qq, cm):
+                return fused_denoise(p, cfg.denoiser, x, t_orig, mmask, cc,
+                                     qq, cm, use_pallas=True)
+        else:
+            def bound_apply(p, x, t_orig, mmask, cc, qq, cm):
+                return model.apply(p, x, t_orig, mmask, cc, qq, cm, True,
+                                   method=model.denoise)
 
         def ddim_loop(p, noise, rng, conds, token_mask, coef_table, js,
                       in_seq, use_in_seq):

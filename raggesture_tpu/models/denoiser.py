@@ -50,6 +50,7 @@ from .layers import (
     FFN,
     LearnedPositionEmbedding,
     StylizationBlock,
+    TorchLayerNorm,
     sine_position_table,
     timestep_embedding,
     zeros_init,
@@ -116,7 +117,7 @@ class EfficientSelfAttention(nn.Module):
         # x: (B,T,D); src_mask: (B,T,1); emb: (B,time_embed_dim)
         B, T, D = x.shape
         H = self.num_heads
-        xn = nn.LayerNorm(name="norm")(x)
+        xn = TorchLayerNorm(name="norm")(x)
         q = nn.Dense(D, name="query")(xn)
         k = nn.Dense(D, name="key")(xn) + (1.0 - src_mask) * NEG_MASK
         v = nn.Dense(D, name="value")(xn) * src_mask
@@ -143,8 +144,8 @@ class EfficientCrossAttention(nn.Module):
         B, T, D = x.shape
         N = xf.shape[1]
         H = self.num_heads
-        xn = nn.LayerNorm(name="norm")(x)
-        xfn = nn.LayerNorm(name="text_norm")(xf)
+        xn = TorchLayerNorm(name="norm")(x)
+        xfn = TorchLayerNorm(name="text_norm")(xf)
         q = feature_softmax_q(nn.Dense(D, name="query")(xn).reshape(B, T, H, -1))
         k = nn.Dense(D, name="key")(xfn)
         if cond_mask is not None:
@@ -216,12 +217,12 @@ class CondTransformerEncoder(nn.Module):
                 num_heads=self.num_heads, qkv_features=self.d_model,
                 dropout_rate=self.dropout, name=f"attn_{i}",
             )(x, x, deterministic=deterministic)
-            x = nn.LayerNorm(name=f"norm1_{i}")(x + attn)
+            x = TorchLayerNorm(name=f"norm1_{i}")(x + attn)
             y = nn.Dense(self.ff_dim, name=f"ff1_{i}")(x)
             y = nn.gelu(y, approximate=False)
             y = nn.Dense(self.d_model, name=f"ff2_{i}")(y)
-            x = nn.LayerNorm(name=f"norm2_{i}")(x + y)
-        x = nn.LayerNorm(name="final_norm")(x)
+            x = TorchLayerNorm(name=f"norm2_{i}")(x + y)
+        x = TorchLayerNorm(name="final_norm")(x)
         return x
 
 

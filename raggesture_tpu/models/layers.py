@@ -19,6 +19,11 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
+TorchLayerNorm = lambda **kw: nn.LayerNorm(epsilon=1e-5, **kw)
+"""LayerNorm with torch's epsilon (1e-5, vs flax default 1e-6) — required
+for numeric parity with converted torch checkpoints."""
+
+
 def timestep_embedding(timesteps: jnp.ndarray, dim: int, max_period: float = 10000.0):
     """Sinusoidal timestep embedding, (N,) -> (N, dim).
 
@@ -87,7 +92,7 @@ class StylizationBlock(nn.Module):
         # emb: (B, time_embed_dim); h: (B, T, D)
         emb_out = nn.Dense(2 * self.latent_dim, name="emb_layer")(nn.silu(emb))
         scale, shift = jnp.split(emb_out[:, None, :], 2, axis=-1)
-        h = nn.LayerNorm(name="norm")(h) * (1 + scale) + shift
+        h = TorchLayerNorm(name="norm")(h) * (1 + scale) + shift
         h = nn.silu(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = nn.Dense(

@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import _xavier_uniform_3d, sine_position_table
+from .layers import TorchLayerNorm, _xavier_uniform_3d, sine_position_table
 
 
 @dataclasses.dataclass(frozen=True)
@@ -133,11 +133,11 @@ class EncoderLayer(nn.Module):
             return nn.Dense(c.latent_dim, name="linear2")(y)
 
         if c.normalize_before:
-            x = x + drop(attn_block(nn.LayerNorm(name="norm1")(x)))
-            x = x + drop(ff_block(nn.LayerNorm(name="norm2")(x)))
+            x = x + drop(attn_block(TorchLayerNorm(name="norm1")(x)))
+            x = x + drop(ff_block(TorchLayerNorm(name="norm2")(x)))
         else:
-            x = nn.LayerNorm(name="norm1")(x + drop(attn_block(x)))
-            x = nn.LayerNorm(name="norm2")(x + drop(ff_block(x)))
+            x = TorchLayerNorm(name="norm1")(x + drop(attn_block(x)))
+            x = TorchLayerNorm(name="norm2")(x + drop(ff_block(x)))
         return x
 
 
@@ -175,13 +175,13 @@ class DecoderLayerTorch(nn.Module):
             return nn.Dense(c.latent_dim, name="linear2")(y)
 
         if c.normalize_before:
-            tgt = tgt + drop(sa(nn.LayerNorm(name="norm1")(tgt)))
-            tgt = tgt + drop(ca(nn.LayerNorm(name="norm2")(tgt)))
-            tgt = tgt + drop(ff(nn.LayerNorm(name="norm3")(tgt)))
+            tgt = tgt + drop(sa(TorchLayerNorm(name="norm1")(tgt)))
+            tgt = tgt + drop(ca(TorchLayerNorm(name="norm2")(tgt)))
+            tgt = tgt + drop(ff(TorchLayerNorm(name="norm3")(tgt)))
         else:
-            tgt = nn.LayerNorm(name="norm1")(tgt + drop(sa(tgt)))
-            tgt = nn.LayerNorm(name="norm2")(tgt + drop(ca(tgt)))
-            tgt = nn.LayerNorm(name="norm3")(tgt + drop(ff(tgt)))
+            tgt = TorchLayerNorm(name="norm1")(tgt + drop(sa(tgt)))
+            tgt = TorchLayerNorm(name="norm2")(tgt + drop(ca(tgt)))
+            tgt = TorchLayerNorm(name="norm3")(tgt + drop(ff(tgt)))
         return tgt
 
 
@@ -209,7 +209,7 @@ class SkipTransformerEncoder(nn.Module):
             x = jnp.concatenate([x, xs.pop()], axis=-1)
             x = nn.Dense(c.latent_dim, name=f"skip_linear_{i}")(x)
             x = EncoderLayer(c, self.num_heads, name=f"output_{i}")(x, **kwargs)
-        x = nn.LayerNorm(name="final_norm")(x)
+        x = TorchLayerNorm(name="final_norm")(x)
         return x
 
 
@@ -241,7 +241,7 @@ class SkipTransformerDecoder(nn.Module):
             x = nn.Dense(c.latent_dim, name=f"skip_linear_{i}")(x)
             x = DecoderLayerTorch(c, self.num_heads, name=f"output_{i}")(
                 x, memory, **kwargs)
-        x = nn.LayerNorm(name="final_norm")(x)
+        x = TorchLayerNorm(name="final_norm")(x)
         return x
 
 

@@ -230,14 +230,43 @@ class RetrievalDatabase:
 
     # -- memoization persistence (DatabaseSaveHook equivalent) --------------
 
+    def corpus_fingerprint(self) -> str:
+        """Cheap identity of the retrieval corpus: memoized results are only
+        valid against the corpus that produced them (the reference's
+        DatabaseSaveHook JSONs silently go stale when the corpus changes —
+        observed as permanently-empty retrievals)."""
+        names = sorted(self.corpus.idx_2_text)
+        return f"{len(names)}:{names[0] if names else ''}:{names[-1] if names else ''}"
+
     def save_memo(self, save_dir: str):
         os.makedirs(save_dir, exist_ok=True)
         for name in ("train_indexes", "train_dbounds", "train_qbounds",
                      "test_indexes", "test_dbounds", "test_qbounds"):
             with open(os.path.join(save_dir, f"{name}.json"), "w") as f:
                 json.dump(getattr(self, name), f)
+        with open(os.path.join(save_dir, "memo_meta.json"), "w") as f:
+            json.dump({"corpus_fingerprint": self.corpus_fingerprint()}, f)
 
     def load_memo(self, save_dir: str):
+        meta_path = os.path.join(save_dir, "memo_meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+            if meta.get("corpus_fingerprint") != self.corpus_fingerprint():
+                import warnings
+
+                warnings.warn(
+                    f"retrieval memo in {save_dir} was built against a "
+                    "different corpus; ignoring it")
+                return
+        elif any(os.path.exists(os.path.join(save_dir, f"{n}.json"))
+                 for n in ("test_indexes", "train_indexes")):
+            import warnings
+
+            warnings.warn(
+                f"retrieval memo in {save_dir} has no corpus fingerprint "
+                "(pre-fingerprint format); ignoring it")
+            return
         for name in ("train_indexes", "train_dbounds", "train_qbounds",
                      "test_indexes", "test_dbounds", "test_qbounds"):
             p = os.path.join(save_dir, f"{name}.json")
@@ -490,3 +519,20 @@ class RetrievalDatabase:
             "num_queries": Q,
         }
         return re_dict
+
+
+def host_batch_from_records(records: List[Dict]) -> Dict[str, list]:
+    """Collate the ragged per-sample fields a RetrievalDatabase call needs
+    from raw dataset records (the reference passes these through the
+    conditions dict, raggesture.py:986-1010)."""
+    return {
+        "text": [r.get("raw_word", "") for r in records],
+        "text_features": [np.asarray(r["text_feature"], np.float32)
+                          for r in records],
+        "discourse": [r.get("discourse", []) or [] for r in records],
+        "gesture_labels": [r.get("gesture_labels", []) or [] for r in records],
+        "text_times": [r.get("text_segments", []) or [] for r in records],
+        "prominence": [r.get("prominence", []) or [] for r in records],
+        "speaker_ids": [int(np.asarray(r["speaker_id"]).reshape(-1)[0])
+                        for r in records],
+    }

@@ -1,0 +1,133 @@
+"""Fused (performance) denoiser path vs the canonical flax module."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raggesture_tpu.models.denoiser import (
+    DenoiserConfig,
+    GestureDenoiser,
+    default_query_masks,
+    latent_motion_mask,
+)
+from raggesture_tpu.models.fused_denoiser import (
+    encode_conditions,
+    fused_denoise,
+    stacked_adaln,
+)
+
+
+def _setup(B=2, layers=2, D=32, H=4, text_dim=24):
+    cfg = DenoiserConfig(latent_dim=D, time_embed_dim=4 * D,
+                         num_layers=layers, num_heads=H, ff_size=2 * D,
+                         dropout=0.0, text_latent_dim=text_dim,
+                         audio_latent_dim=text_dim, num_speakers=5,
+                         max_seq_len=30, frame_chunk_size=15)
+    den = GestureDenoiser(cfg)
+    rng = np.random.RandomState(0)
+    word = jnp.asarray(rng.randn(B, 6, text_dim), jnp.float32)
+    audio = jnp.asarray(rng.randn(B, 8, text_dim), jnp.float32)
+    spk = jnp.asarray([1, 3])
+    x = jnp.asarray(rng.randn(B, cfg.num_tokens, D), jnp.float32)
+    t = jnp.asarray([5, 900])
+    frame_mask = jnp.ones((B, cfg.max_seq_len))
+    mask = latent_motion_mask(cfg, frame_mask)
+    import flax.linen as nn
+
+    def run(mdl):
+        cc = mdl.encode_conditions(word, audio, spk)
+        return mdl(x, t, mask, cc, default_query_masks(cfg, B),
+                   jnp.ones((B, 1, 1)))
+
+    params = nn.init(run, den)(jax.random.PRNGKey(0))
+    # randomize the zero-init layers so the whole path is exercised
+    def derandomize(p, key=[0]):
+        def go(tree):
+            for k, v in tree.items():
+                if isinstance(v, dict):
+                    go(v)
+                else:
+                    key[0] += 1
+                    if np.asarray(v).size and np.allclose(np.asarray(v), 0):
+                        tree[k] = 0.05 * jax.random.normal(
+                            jax.random.PRNGKey(key[0]), v.shape)
+        go(p)
+        return p
+
+    params = {"params": derandomize(jax.tree_util.tree_map(np.asarray,
+                                                           params)["params"])}
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    return cfg, den, params, (x, t, mask, word, audio, spk)
+
+
+def test_fused_denoise_matches_module():
+    cfg, den, params, (x, t, mask, word, audio, spk) = _setup()
+    B = x.shape[0]
+    conds = den.apply(params, word, audio, spk,
+                      method=den.encode_conditions)
+    qm = default_query_masks(cfg, B)
+    cm = jnp.ones((B, 1, 1))
+    ref = den.apply(params, x, t, mask, conds, qm, cm)
+    out = fused_denoise(params, cfg, x, t, mask, conds, qm, cm,
+                        use_pallas=False)
+    valid = np.asarray(mask) > 0
+    np.testing.assert_allclose(np.asarray(out)[valid], np.asarray(ref)[valid],
+                               atol=3e-5)
+
+
+def test_fused_denoise_pallas_matches_module():
+    cfg, den, params, (x, t, mask, word, audio, spk) = _setup()
+    B = x.shape[0]
+    conds = den.apply(params, word, audio, spk, method=den.encode_conditions)
+    qm = default_query_masks(cfg, B)
+    cm = jnp.ones((B, 1, 1))
+    ref = den.apply(params, x, t, mask, conds, qm, cm)
+    # interpret-mode pallas on CPU
+    import raggesture_tpu.ops.pallas.linear_attention_kernel as K
+
+    orig = K.fused_self_attention
+    try:
+        import functools
+
+        K_interp = functools.partial(orig, interpret=True)
+        import raggesture_tpu.models.fused_denoiser as F
+
+        F.fused_self_attention = K_interp
+        fused_denoise_nojit = F.fused_denoise.__wrapped__
+        out = fused_denoise_nojit(params, cfg, x, t, mask, conds, qm, cm,
+                                  use_pallas=True)
+    finally:
+        import raggesture_tpu.models.fused_denoiser as F
+
+        F.fused_self_attention = orig
+    valid = np.asarray(mask) > 0
+    np.testing.assert_allclose(np.asarray(out)[valid], np.asarray(ref)[valid],
+                               atol=3e-5)
+
+
+def test_encode_conditions_parity():
+    cfg, den, params, (x, t, mask, word, audio, spk) = _setup()
+    ref = den.apply(params, word, audio, spk, method=den.encode_conditions)
+    out = encode_conditions(params["params"]["denoiser"]
+                            if "denoiser" in params["params"]
+                            else params["params"], cfg, word, audio, spk)
+    for k in ref:
+        np.testing.assert_allclose(np.asarray(out[k]), np.asarray(ref[k]),
+                                   atol=1e-6)
+
+
+def test_stacked_adaln_matches_per_block():
+    cfg, den, params, _ = _setup()
+    p = params["params"]
+    emb = jnp.asarray(np.random.RandomState(5).randn(2, cfg.time_embed_dim),
+                      jnp.float32)
+    table = stacked_adaln(p, emb, cfg.num_layers)
+    # compare slot (0, 'ffn') against the direct projection
+    st = p["block_0"]["ffn"]["proj_out"]["emb_layer"]
+    direct = jax.nn.silu(emb) @ st["kernel"] + st["bias"]
+    D = direct.shape[-1] // 2
+    s, sh = table[(0, "ffn")]
+    np.testing.assert_allclose(np.asarray(s), np.asarray(direct[:, :D]),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sh), np.asarray(direct[:, D:]),
+                               atol=1e-5)

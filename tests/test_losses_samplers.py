@@ -1,0 +1,82 @@
+"""Losses (weighted MSE, Laplacian MSE) and schedule samplers."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raggesture_tpu.diffusion.samplers import (
+    LossSecondMomentResampler,
+    UniformSampler,
+    build_sampler,
+)
+from raggesture_tpu.models.losses import (
+    LaplacianMSELoss,
+    MSELoss,
+    laplacian_1d,
+    laplacian_filter_time,
+    mse_loss,
+    weight_reduce_loss,
+)
+
+
+def test_weight_reduce_loss():
+    loss = jnp.asarray([[1.0, 2.0], [3.0, 4.0]])
+    assert float(weight_reduce_loss(loss, reduction="sum")) == 10.0
+    assert float(weight_reduce_loss(loss, reduction="mean")) == 2.5
+    w = jnp.asarray([[1.0, 0.0], [1.0, 0.0]])
+    assert float(weight_reduce_loss(loss, w, reduction="sum")) == 4.0
+    assert float(weight_reduce_loss(loss, w, reduction="mean",
+                                    avg_factor=2.0)) == 2.0
+    with pytest.raises(ValueError):
+        weight_reduce_loss(loss, reduction="sum", avg_factor=1.0)
+
+
+def test_mse_loss_class():
+    pred = jnp.ones((2, 3)) * 2
+    target = jnp.zeros((2, 3))
+    l = MSELoss(reduction="mean", loss_weight=0.5)
+    assert float(l(pred, target)) == 2.0  # 0.5 * 4
+    l_none = MSELoss(reduction="none")
+    assert l_none(pred, target).shape == (2, 3)
+
+
+def test_laplacian_kernel_and_loss():
+    k = np.asarray(laplacian_1d(3))
+    assert np.allclose(k, [1.0, -2.0, 1.0])
+    assert abs(k.sum()) < 1e-9
+    # a linear ramp has zero laplacian (away from the replicate-padded edges)
+    t = jnp.arange(10, dtype=jnp.float32)[None, :, None]
+    filt = laplacian_filter_time(jnp.tile(t, (1, 1, 2)))
+    assert np.allclose(np.asarray(filt)[0, 1:-1], 0.0, atol=1e-5)
+    # identical inputs -> zero loss regardless of content
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 8, 4), jnp.float32)
+    assert float(LaplacianMSELoss()(x, x)) == 0.0
+    # different curvature -> positive
+    y = x + t[:, :8] ** 2 * 0.01
+    assert float(LaplacianMSELoss()(x, y)) > 0.0
+
+
+def test_uniform_sampler():
+    s = build_sampler("uniform", 100)
+    assert isinstance(s, UniformSampler)
+    t, w = s.sample(jax.random.PRNGKey(0), 512)
+    assert t.shape == (512,) and w.shape == (512,)
+    assert int(t.min()) >= 0 and int(t.max()) < 100
+    assert np.allclose(np.asarray(w), 1.0)
+
+
+def test_loss_second_moment_resampler():
+    s = LossSecondMomentResampler(10, history_per_term=3)
+    assert np.allclose(s.weights(), 1.0)  # uniform until warm
+    # warm up with high loss at t=0, low elsewhere
+    for _ in range(3):
+        s.update_with_losses(list(range(10)), [10.0] + [0.1] * 9)
+    w = s.weights()
+    assert w[0] > w[1]  # importance follows loss magnitude
+    assert np.all(w > 0)  # uniform floor
+    t, iw = s.sample(jax.random.PRNGKey(1), 2000)
+    counts = np.bincount(np.asarray(t), minlength=10)
+    assert counts[0] > counts[5]
+    with pytest.raises(NotImplementedError):
+        build_sampler("nope", 10)

@@ -1,0 +1,65 @@
+"""Pallas fused linear-attention kernel vs the XLA module path.
+
+Runs in interpreter mode on CPU (the driver/bench exercises the compiled
+path on the real chip)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raggesture_tpu.models.denoiser import EfficientSelfAttention
+from raggesture_tpu.ops.pallas.linear_attention_kernel import (
+    adaln_scale_shift,
+    fused_self_attention,
+)
+
+
+def test_fused_self_attention_matches_xla():
+    B, T, D, H, E = 2, 43, 512, 16, 128
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(B, T, D), jnp.float32) * 0.5
+    emb = jnp.asarray(rng.randn(B, E), jnp.float32)
+    mask = np.ones((B, T, 1), np.float32)
+    mask[:, [10, 21, 32]] = 0.0  # separators
+    mask[1, 40:] = 0.0           # ragged tail
+    mask = jnp.asarray(mask)
+
+    mod = EfficientSelfAttention(D, H, 0.0)
+    params = mod.init(jax.random.PRNGKey(1), x, mask, emb)
+    # randomize the zero-init projections so the epilogue is exercised
+    p = jax.tree_util.tree_map(lambda a: a, params)["params"]
+    key = jax.random.PRNGKey(2)
+    p["proj_out"]["out_proj"]["kernel"] = 0.02 * jax.random.normal(
+        key, p["proj_out"]["out_proj"]["kernel"].shape)
+    params = {"params": p}
+
+    ref = mod.apply(params, x, mask, emb)
+
+    scale, shift = adaln_scale_shift(emb, p["proj_out"])
+    out = fused_self_attention(x, mask, scale, shift, p, num_heads=H,
+                               interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_fused_self_attention_padding_independence():
+    """T=43 pads to 48 internally; masked rows must not leak into output."""
+    B, T, D, H, E = 1, 43, 512, 16, 64
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(B, T, D), jnp.float32)
+    emb = jnp.asarray(rng.randn(B, E), jnp.float32)
+    mask = jnp.ones((B, T, 1), jnp.float32)
+
+    mod = EfficientSelfAttention(D, H, 0.0)
+    params = mod.init(jax.random.PRNGKey(0), x, mask, emb)["params"]
+    scale, shift = adaln_scale_shift(emb, params["proj_out"])
+
+    out = fused_self_attention(x, mask, scale, shift, params, num_heads=H,
+                               interpret=True)
+    assert out.shape == (B, T, D)
+    # garbage in the padded region must not change valid outputs
+    x2 = jnp.concatenate([x, 100.0 + jnp.zeros((B, 5, D))], axis=1)
+    m2 = jnp.concatenate([mask, jnp.zeros((B, 5, 1))], axis=1)
+    out2 = fused_self_attention(x2, m2, scale, shift, params, num_heads=H,
+                                interpret=True)
+    np.testing.assert_allclose(np.asarray(out2[:, :T]), np.asarray(out),
+                               atol=1e-5)

@@ -1,0 +1,180 @@
+"""Training runtime: sampler, loader, wrappers, orbax checkpoint/resume,
+and a tiny end-to-end train_model run on the virtual 8-device CPU mesh.
+
+Covers the capabilities of the reference runtime (mogen/apis/train.py,
+mogen/datasets/samplers/distributed_sampler.py, mmcv CheckpointHook)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raggesture_tpu.datasets.sampler import DataLoader, EpochSampler, build_dataloader
+from raggesture_tpu.datasets.wrappers import ConcatDataset, RepeatDataset
+from raggesture_tpu.datasets.fixtures import synthetic_batch, tiny_arch_config, tiny_batch
+from raggesture_tpu.models.architecture import MotionDiffusionModel
+from raggesture_tpu.train.checkpoint import CheckpointManager, load_params, save_params
+from raggesture_tpu.train.loop import OptimConfig, create_train_state
+from raggesture_tpu.train.runner import device_batch, train_model
+
+
+# ---------------------------------------------------------------- sampler --
+def test_epoch_sampler_shards_and_reseeds():
+    s0 = EpochSampler(10, shuffle=True, num_shards=2, shard=0, seed=7)
+    s1 = EpochSampler(10, shuffle=True, num_shards=2, shard=1, seed=7)
+    i0, i1 = s0.indices(), s1.indices()
+    assert len(i0) == len(i1) == 5
+    # shards are disjoint and cover everything (round_up with 10/2 exact)
+    assert sorted(np.concatenate([i0, i1]).tolist()) == list(range(10))
+    # epoch reseeds deterministically (DistSamplerSeedHook behavior)
+    s0.set_epoch(1)
+    i0e1 = s0.indices()
+    assert not np.array_equal(i0, i0e1)
+    s0.set_epoch(0)
+    assert np.array_equal(i0, s0.indices())
+
+
+def test_epoch_sampler_round_up():
+    # 7 samples over 2 shards -> padded to 8, 4 each
+    shards = [EpochSampler(7, num_shards=2, shard=r, seed=0) for r in range(2)]
+    assert all(len(s) == 4 for s in shards)
+    allidx = np.concatenate([s.indices() for s in shards])
+    assert len(allidx) == 8
+    assert set(allidx.tolist()) == set(range(7))  # padding repeats a sample
+
+
+# ----------------------------------------------------------------- loader --
+class _ListDataset:
+    def __init__(self, records):
+        self.records = records
+
+    def __len__(self):
+        return len(self.records)
+
+    def __getitem__(self, i):
+        return self.records[i]
+
+
+def _records(n, frames=30):
+    out = []
+    for i in range(n):
+        b = synthetic_batch(seed=i, batch=1, frames=frames, audio_frames=8,
+                            text_dim=24, audio_dim=24)
+        rec = {k: np.asarray(v[0]) for k, v in b.items()
+               if k not in ("speaker_ids", "motion_length")}
+        rec["speaker_id"] = np.asarray([int(b["speaker_ids"][0])])
+        rec["motion_length"] = frames
+        rec["sample_name"] = f"f/{i}"
+        rec["sample_idx"] = i
+        out.append(rec)
+    return out
+
+
+def test_dataloader_shapes_and_drop_last():
+    ds = _ListDataset(_records(7))
+    dl = DataLoader(ds, batch_size=2, shuffle=False, drop_last=True)
+    batches = list(dl)
+    assert len(batches) == len(dl) == 3
+    assert batches[0]["motion_upper"].shape[0] == 2
+    assert batches[0]["speaker_ids"].shape == (2,)
+    # eval mode pads the tail and flags validity
+    dl2 = DataLoader(ds, batch_size=2, shuffle=False, drop_last=False)
+    batches = list(dl2)
+    assert len(batches) == 4
+    assert batches[-1]["valid_mask"].tolist() == [True, False]
+
+
+def test_build_dataloader_global_batch():
+    ds = _ListDataset(_records(16))
+    dl = build_dataloader(ds, samples_per_device=2, num_devices=4,
+                          shuffle=True, seed=3)
+    b = next(iter(dl))
+    assert b["motion_upper"].shape[0] == 8
+
+
+# --------------------------------------------------------------- wrappers --
+def test_concat_and_repeat_dataset():
+    a, b = _ListDataset(_records(3)), _ListDataset(_records(2))
+    cat = ConcatDataset([a, b])
+    assert len(cat) == 5
+    assert cat[3]["sample_name"] == b.records[0]["sample_name"]
+    rep = RepeatDataset(a, 3)
+    assert len(rep) == 9
+    assert rep[7]["sample_name"] == a.records[1]["sample_name"]
+    with pytest.raises(IndexError):
+        cat[5]
+    with pytest.raises(IndexError):
+        rep[9]
+
+
+# ------------------------------------------------------------- checkpoint --
+def _tiny_state():
+    cfg = tiny_arch_config()
+    model = MotionDiffusionModel(cfg)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "vae": jax.random.PRNGKey(1)},
+        tiny_batch(batch=2),
+    )
+    state, _ = create_train_state(model, params, OptimConfig(total_steps=10))
+    return model, state
+
+
+def test_checkpoint_save_restore_roundtrip(tmp_path):
+    model, state = _tiny_state()
+    mgr = CheckpointManager(str(tmp_path), interval=2, max_to_keep=2)
+    assert not mgr.maybe_save(0, state)          # (0+1) % 2 != 0
+    assert mgr.maybe_save(1, state, meta={"tag": "e1"})
+    mgr.wait()
+    assert mgr.latest_epoch() == 1
+    restored, meta = mgr.restore(state)
+    assert meta["tag"] == "e1" and meta["epoch"] == 1
+    chex_all = jax.tree_util.tree_all(jax.tree_util.tree_map(
+        lambda a, b: jnp.allclose(a, b), state.params, restored.params))
+    assert chex_all
+    mgr.close()
+
+
+def test_params_only_save_load(tmp_path):
+    model, state = _tiny_state()
+    p = str(tmp_path / "params")
+    save_params(p, state.params, meta={"epoch": 64})
+    loaded = load_params(p, state.params)
+    assert jax.tree_util.tree_all(jax.tree_util.tree_map(
+        lambda a, b: jnp.allclose(a, b), state.params, loaded))
+    assert os.path.exists(p + ".meta.json")
+
+
+# --------------------------------------------------------------- end2end --
+def test_train_model_two_epochs_and_resume(tmp_path):
+    cfg = tiny_arch_config()
+    model = MotionDiffusionModel(cfg)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "vae": jax.random.PRNGKey(1)},
+        tiny_batch(batch=2),
+    )
+    ds = _ListDataset(_records(16))
+    dl = DataLoader(ds, batch_size=8, shuffle=True, drop_last=True)
+    wd = str(tmp_path / "run")
+    state = train_model(
+        model, dl, OptimConfig(total_steps=8), params=params,
+        max_epochs=2, workdir=wd, checkpoint_interval=1,
+        log_interval=1, tensorboard=False, seed=0,
+    )
+    assert int(state.step) == 4  # 2 epochs x 2 batches
+    assert os.path.exists(os.path.join(wd, "metrics.jsonl"))
+    # resume continues from the final checkpoint
+    state2 = train_model(
+        model, dl, OptimConfig(total_steps=8), params=params,
+        max_epochs=3, workdir=wd, checkpoint_interval=1,
+        log_interval=1, tensorboard=False, resume=True, seed=0,
+    )
+    assert int(state2.step) == 6  # one more epoch on top
+
+
+def test_device_batch_filters_host_fields():
+    b = {"motion_upper": np.zeros((2, 3)), "raw_word": ["a", "b"],
+         "word": np.zeros((2, 3)), "sample_name": ["x", "y"]}
+    db = device_batch(b)
+    assert set(db) == {"motion_upper", "word"}

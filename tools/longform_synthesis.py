@@ -1,0 +1,280 @@
+#!/usr/bin/env python
+"""Arbitrary-length gesture synthesis by overlapped window chunking.
+
+Capability match for /root/reference/tools/longform_synthesis.py: full-clip
+test cache, chunk starts ``[0] + range(150-15, L, 150-15)`` with tail
+padding, per-chunk modality slicing, ``use_prev_latent`` handoff (the
+previous chunk's final latent tokens seed the next chunk's first tokens),
+cross-fade of the 15-frame overlap in 6d rotation space, and stitched
+``full_pred_motion.npz`` / ``full_gt_motion.npz`` outputs.
+
+Usage:
+    python tools/longform_synthesis.py CONFIG CKPT --out-dir DIR \
+        [--retrieval-method gesture_type] [--use-inversion] \
+        [--insertion-guidance] [--max-clips 10] [--seed 0]
+"""
+
+import argparse
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="long-form gesture synthesis")
+    p.add_argument("config")
+    p.add_argument("checkpoint")
+    p.add_argument("--out-dir", required=True)
+    p.add_argument("--retrieval-method", default="none",
+                   choices=["discourse", "gesture_type", "llm", "none"])
+    p.add_argument("--use-inversion", action="store_true")
+    p.add_argument("--insertion-guidance", action="store_true")
+    p.add_argument("--guidance-iters", default="decreasing_till_25")
+    p.add_argument("--guidance-lr", type=float, default=0.1)
+    p.add_argument("--max-clips", type=int, default=10)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--options", nargs="+", default=[])
+    return p.parse_args()
+
+
+def chunk_starts(n_frames: int, window: int, overlap: int):
+    """Reference chunking (longform_synthesis.py:262-287):
+    starts = [0] + range(window-overlap, L, window-overlap)."""
+    stride = window - overlap
+    starts = [0] + list(range(stride, max(n_frames - overlap, 1), stride))
+    return starts
+
+
+def slice_chunk(rec, s: int, e: int, fps: int, audio_sr: int = 16000):
+    """Slice every modality of a full-clip record to [s, e) frames, padding
+    the tail with zeros (reference :267-287, :300-383)."""
+    T = e - s
+    start_sec, end_sec = s / fps, e / fps
+    out = {}
+    for k in ("motion", "motion_upper", "motion_face", "motion_lower",
+              "motion_hands", "trans", "facial", "contact", "word", "emo",
+              "sem_score", "beta"):
+        if k not in rec:
+            continue
+        a = np.asarray(rec[k])[s:e]
+        if a.shape[0] < T:
+            a = np.concatenate(
+                [a, np.zeros((T - a.shape[0],) + a.shape[1:], a.dtype)])
+        out[k] = a
+    # audio features: proportional slice of the feature timeline
+    af = np.asarray(rec["audio"])
+    n_clip_frames = np.asarray(rec["motion"]).shape[0]
+    fs = int(round(af.shape[0] * s / max(n_clip_frames, 1)))
+    fe = int(round(af.shape[0] * e / max(n_clip_frames, 1)))
+    a = af[fs:fe]
+    want = fe - fs
+    if a.shape[0] < want:
+        a = np.concatenate([a, np.zeros((want - a.shape[0], af.shape[1]),
+                                        af.dtype)])
+    out["audio"] = a
+    raw_audio = np.asarray(rec.get("raw_audio", np.zeros(0, np.float32)))
+    a_s, a_e = int(start_sec * audio_sr), int(end_sec * audio_sr)
+    ra = raw_audio[a_s:a_e]
+    if ra.shape[0] < (a_e - a_s):
+        ra = np.concatenate([ra, np.full((a_e - a_s) - ra.shape[0], 1e-4,
+                                         np.float32)])
+    out["raw_audio"] = ra
+    out["motion_mask"] = np.ones((T,), np.float32)
+    out["motion_length"] = np.asarray(T, np.int32)
+    out["speaker_id"] = np.asarray(rec["speaker_id"]).reshape(-1)[:1]
+    out["raw_word"] = rec.get("raw_word", "")
+    out["text_feature"] = np.asarray(rec.get("text_feature",
+                                             np.zeros((1, 768), np.float32)))
+    # window-relative second re-alignment of ragged annotations (:300-383)
+    out["text_segments"] = [
+        [[t[0][0] - start_sec, t[0][1] - start_sec], t[1]]
+        for t in rec.get("text_segments", [])
+        if t[0][0] >= start_sec and t[0][1] <= end_sec
+    ]
+    out["discourse"] = [
+        tuple(d[:4]) + (d[4] - start_sec, d[5] - start_sec,
+                        d[6] - start_sec, d[7] - start_sec)
+        for d in rec.get("discourse", [])
+        if len(d) >= 8 and d[4] >= start_sec and d[5] <= end_sec
+    ]
+    out["prominence"] = [
+        (w, ps - start_sec, pe - start_sec, pv)
+        for (w, ps, pe, pv) in rec.get("prominence", [])
+        if ps >= start_sec and pe <= end_sec
+    ]
+    out["gesture_labels"] = [
+        dict(g, start=g["start"] - start_sec, end=g["end"] - start_sec)
+        for g in rec.get("gesture_labels", [])
+        if g["start"] >= start_sec and g["end"] <= end_sec
+    ]
+    out["sample_name"] = f"{rec['sample_name']}@{s}"
+    return out
+
+
+def main():
+    args = parse_args()
+
+    import jax
+
+    from raggesture_tpu.builders import (
+        beatx_config_from,
+        build_architecture,
+        retrieval_config_from,
+    )
+    from raggesture_tpu.config import Config
+    from raggesture_tpu.datasets.beatx import collate
+    from raggesture_tpu.datasets.build import build_dataset
+    from raggesture_tpu.models.architecture import (
+        InferenceOptions,
+        StagedGenerator,
+        guidance_iters_schedule,
+        init_params,
+    )
+    from raggesture_tpu.retrieval.database import (
+        RetrievalCorpus,
+        RetrievalDatabase,
+        host_batch_from_records,
+    )
+    from raggesture_tpu.train.checkpoint import load_params
+    from raggesture_tpu.train.runner import device_batch
+    from raggesture_tpu.utils.env import setup_compilation_cache
+    from raggesture_tpu.utils.logger import get_root_logger
+    from raggesture_tpu.utils.motion_io import (
+        crossfade_linear,
+        crossfade_pose_aa,
+        linear_resample,
+        reassemble_full_pose,
+        save_smplx_npz,
+        upsample_pose_aa,
+    )
+
+    setup_compilation_cache()
+    logger = get_root_logger()
+    cfg = Config.fromfile(args.config)
+    if args.options:
+        cfg.merge_option_strings(args.options)
+
+    model = build_architecture(cfg.model)
+    window = model.cfg.denoiser.max_seq_len        # 150
+    overlap = model.cfg.denoiser.frame_chunk_size  # 15
+    fps = cfg.data.test.get("pose_fps", 15)
+
+    # full-clip test cache (reference pins test_cache_mode="full", :203)
+    import dataclasses as _dc
+
+    test_dcfg = _dc.replace(beatx_config_from(cfg.data.test),
+                            test_cache_mode="full")
+    test_ds = build_dataset(test_dcfg)
+    logger.info("test dataset (full clips): %d", len(test_ds))
+
+    db = None
+    if args.retrieval_method != "none":
+        train_ds = build_dataset(beatx_config_from(cfg.data.train))
+        rcfg = retrieval_config_from(cfg.model.model)
+        corpus = RetrievalCorpus.build(train_ds, rcfg)
+        db = RetrievalDatabase(corpus, rcfg, train_ds)
+
+    ex = slice_chunk(test_ds[0], 0, window, fps)
+    ex_batch = device_batch(collate([ex]))
+    params = init_params(model, jax.random.PRNGKey(0), ex_batch)
+    params = load_params(args.checkpoint, params)
+    sched = model.cfg.diffusion_test.schedule()
+    gen = StagedGenerator(model, params, sched)
+    encode_fn = jax.jit(
+        lambda b: model.apply(params, b, rng=None, sample=False,
+                              method=model.encode_motion))
+
+    gi = guidance_iters_schedule(args.guidance_iters, sched.num_timesteps) \
+        if args.insertion_guidance else None
+
+    rng = jax.random.PRNGKey(args.seed)
+    factor = 30 // fps
+
+    for ci in range(min(len(test_ds), args.max_clips)):
+        rec = test_ds[ci]
+        clip_name = rec["sample_name"].split("/")[0]
+        n_frames = np.asarray(rec["motion"]).shape[0]
+        starts = chunk_starts(n_frames, window, overlap)
+        logger.info("clip %s: %d frames -> %d chunks", clip_name, n_frames,
+                    len(starts))
+
+        prev_latent = None
+        stitched_pose = None
+        stitched_exps = None
+        stitched_trans = None
+        clip_dir = os.path.join(args.out_dir, clip_name)
+        os.makedirs(clip_dir, exist_ok=True)
+
+        for k, s in enumerate(starts):
+            chunk = slice_chunk(rec, s, s + window, fps)
+            batch = device_batch(collate([chunk]))
+            re_dict = None
+            if db is not None:
+                hb = host_batch_from_records([chunk])
+                re_dict = db(hb, [chunk["sample_name"]], encode_fn,
+                             method=args.retrieval_method)
+            opts = InferenceOptions(
+                use_inversion=args.use_inversion and re_dict is not None,
+                insertion_guidance=args.insertion_guidance
+                and re_dict is not None,
+                guidance_lr=args.guidance_lr,
+                use_prev_latent=prev_latent is not None,
+            )
+            rng, r = jax.random.split(rng)
+            out = gen(batch, r, opts=opts, re_dict=re_dict,
+                      guidance_iters=gi, prev_latent=prev_latent)
+            prev_latent = out["prev_latentout"]
+
+            pose = reassemble_full_pose(out)[0]       # (window, 165)
+            exps = np.asarray(out["pred_exps"])[0]
+            trans = np.asarray(out["pred_transl"])[0]
+
+            if stitched_pose is None:
+                stitched_pose, stitched_exps, stitched_trans = pose, exps, trans
+            else:
+                # cross-fade the overlap in 6d space (:431-518)
+                faded = crossfade_pose_aa(stitched_pose[-overlap:],
+                                          pose[:overlap])
+                stitched_pose = np.concatenate(
+                    [stitched_pose[:-overlap], faded, pose[overlap:]])
+                stitched_exps = np.concatenate(
+                    [stitched_exps[:-overlap],
+                     crossfade_linear(stitched_exps[-overlap:], exps[:overlap]),
+                     exps[overlap:]])
+                stitched_trans = np.concatenate(
+                    [stitched_trans[:-overlap],
+                     crossfade_linear(stitched_trans[-overlap:],
+                                      trans[:overlap]),
+                     trans[overlap:]])
+            save_smplx_npz(os.path.join(clip_dir, f"chunk_{k:03d}.npz"),
+                           upsample_pose_aa(pose, factor),
+                           linear_resample(exps, factor),
+                           linear_resample(trans, factor), fps=30)
+
+        stitched_pose = stitched_pose[:n_frames]
+        stitched_exps = stitched_exps[:n_frames]
+        stitched_trans = stitched_trans[:n_frames]
+        save_smplx_npz(os.path.join(clip_dir, "full_pred_motion.npz"),
+                       upsample_pose_aa(stitched_pose, factor),
+                       linear_resample(stitched_exps, factor),
+                       linear_resample(stitched_trans, factor), fps=30)
+        save_smplx_npz(os.path.join(clip_dir, "full_gt_motion.npz"),
+                       upsample_pose_aa(np.asarray(rec["motion"]), factor),
+                       linear_resample(np.asarray(rec["facial"]), factor),
+                       linear_resample(np.asarray(rec["trans"]), factor),
+                       fps=30)
+        raw_audio = np.asarray(rec.get("raw_audio", np.zeros(0)))
+        if raw_audio.size:
+            from scipy.io import wavfile
+
+            wavfile.write(os.path.join(clip_dir, "gt_audio.wav"), 16000,
+                          (raw_audio * 32767).astype(np.int16))
+    logger.info("long-form results in %s", args.out_dir)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,170 @@
+#!/usr/bin/env python
+"""Train the RAG-Gesture diffusion model on TPU.
+
+Capability match for /root/reference/tools/train.py:69-157 (config load,
+distributed init, workdir/log/meta, seed, dataset+architecture build,
+train_model), rebuilt for the JAX runtime: ``jax.distributed.initialize``
+replaces ``init_dist(nccl)``, a data-parallel ``jax.sharding.Mesh`` replaces
+MMDistributedDataParallel, orbax replaces mmcv checkpoints.
+
+Usage:
+    python tools/train.py configs/raggesture_beatx/basegesture_len150_beat.py \
+        [--work-dir DIR] [--resume-from latest] [--load-from PARAMS] \
+        [--seed 0] [--options k.ey=value ...] [--distributed]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Train a gesture diffusion model")
+    p.add_argument("config", help="config file path")
+    p.add_argument("--work-dir", help="dir to save logs and checkpoints")
+    p.add_argument("--resume-from", nargs="?", const="latest", default=None,
+                   help="resume from the latest checkpoint in work-dir")
+    p.add_argument("--load-from", default=None,
+                   help="orbax params path to initialize from")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--options", nargs="+", default=[],
+                   help="config overrides: key.subkey=value")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host: call jax.distributed.initialize()")
+    p.add_argument("--no-validate", action="store_true")
+    p.add_argument("--device-batch-size", type=int, default=None,
+                   help="override data.samples_per_device")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="enable jax.debug_nans (the reference forces torch "
+                        "detect_anomaly; here it is opt-in — it costs real "
+                        "throughput)")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+
+    import jax
+
+    if args.distributed:
+        jax.distributed.initialize()
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
+
+    from raggesture_tpu.builders import (
+        arch_config_from,
+        beatx_config_from,
+        build_architecture,
+        optim_config_from,
+        retrieval_config_from,
+    )
+    from raggesture_tpu.config import Config
+    from raggesture_tpu.datasets.build import build_dataset
+    from raggesture_tpu.datasets.sampler import build_dataloader
+    from raggesture_tpu.models.architecture import init_params
+    from raggesture_tpu.train.checkpoint import load_params
+    from raggesture_tpu.train.runner import train_model
+    from raggesture_tpu.utils.env import setup_compilation_cache
+    from raggesture_tpu.utils.logger import collect_env, get_root_logger
+
+    setup_compilation_cache()
+
+    cfg = Config.fromfile(args.config)
+    if args.options:
+        cfg.merge_option_strings(args.options)
+    workdir = args.work_dir or os.path.join(
+        "work_dirs", os.path.splitext(os.path.basename(args.config))[0])
+    os.makedirs(workdir, exist_ok=True)
+    cfg.dump(os.path.join(workdir, "config.py"))
+
+    timestamp = time.strftime("%Y%m%d_%H%M%S", time.localtime())
+    logger = get_root_logger(os.path.join(workdir, f"{timestamp}.log"))
+    for k, v in collect_env().items():
+        logger.info("env: %s = %s", k, v)
+    logger.info("config: %s", args.config)
+
+    # dataset (features must be pre-extracted or HF models available)
+    dcfg = beatx_config_from(cfg.data.train)
+    extractor = None
+    try:
+        from raggesture_tpu.datasets.beatx import HFFeatureExtractor
+
+        extractor = HFFeatureExtractor()
+    except Exception as e:
+        logger.warning("HF feature extractors unavailable (%s); the cache "
+                       "must already exist or features will be stubbed", e)
+    dataset = build_dataset(dcfg, extractor)
+    logger.info("train dataset: %d windows", len(dataset))
+
+    model = build_architecture(cfg.model)
+    batch_per_device = args.device_batch_size or cfg.data.get(
+        "samples_per_device", 128)
+    n_local = jax.local_device_count()
+    loader = build_dataloader(
+        dataset, batch_per_device, n_local,
+        num_shards=jax.process_count(), shard=jax.process_index(),
+        seed=args.seed,
+    )
+
+    max_epochs = cfg.runner.get("max_epochs", 500)
+    total_steps = max(len(loader) * max_epochs, 1)
+    optim_cfg = optim_config_from(cfg, total_steps)
+
+    # params: load or init (init needs one example batch)
+    if args.load_from:
+        import numpy as np
+
+        first = next(iter(loader))
+        from raggesture_tpu.train.runner import device_batch
+
+        params = init_params(model, jax.random.PRNGKey(args.seed),
+                             {k: v[:1] for k, v in device_batch(first).items()})
+        params = load_params(args.load_from, params)
+        logger.info("loaded params from %s", args.load_from)
+    else:
+        first = next(iter(loader))
+        from raggesture_tpu.train.runner import device_batch
+
+        params = init_params(model, jax.random.PRNGKey(args.seed),
+                             {k: v[:1] for k, v in device_batch(first).items()})
+
+    # optional retrieval database for memoization persistence during training
+    retrieval_db = None
+    retrieval_save_dir = None
+    if cfg.model.model.get("retrieval_train", False):
+        from raggesture_tpu.retrieval.database import (
+            RetrievalCorpus,
+            RetrievalDatabase,
+        )
+
+        rcfg = retrieval_config_from(cfg.model.model)
+        corpus = RetrievalCorpus.build(dataset, rcfg)
+        retrieval_db = RetrievalDatabase(corpus, rcfg, dataset)
+        for hook in cfg.get("custom_hooks", []):
+            if hook.get("type") == "DatabaseSaveHook":
+                retrieval_save_dir = hook.get("save_dir")
+
+    ckpt_cfg = cfg.get("checkpoint_config", {}) or {}
+    log_cfg = cfg.get("log_config", {}) or {}
+    state = train_model(
+        model, loader, optim_cfg,
+        params=params,
+        max_epochs=max_epochs,
+        workdir=workdir,
+        checkpoint_interval=ckpt_cfg.get("interval", 2),
+        checkpoint_max_to_keep=ckpt_cfg.get("max_to_keep", 5),
+        log_interval=log_cfg.get("interval", 10),
+        tensorboard=log_cfg.get("tensorboard", True),
+        resume=args.resume_from is not None,
+        seed=args.seed,
+        retrieval_db=retrieval_db,
+        retrieval_save_dir=retrieval_save_dir,
+    )
+    logger.info("training done at step %d", int(state.step))
+
+
+if __name__ == "__main__":
+    main()

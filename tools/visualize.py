@@ -1,0 +1,249 @@
+#!/usr/bin/env python
+"""Retrieval-guided inference + result export (+ optional rendering).
+
+Capability match for /root/reference/tools/visualize.py: windowed-test
+inference with retrieval (discourse / gesture_type / llm), DDIM inversion +
+insertion guidance, full-pose reassembly from the 4 body parts, 15→30 fps
+interpolation in 6d rotation space, and per-sample result directories with
+the smplx2020 npz schema (pred_motion.npz / gt_motion.npz / retrieval_0.npz
++ gt_text.txt + gt_audio.wav + retrieval_list.txt) and optional pyrender
+side-by-side mp4s.
+
+Usage:
+    python tools/visualize.py CONFIG CKPT --out-dir DIR \
+        [--retrieval-method discourse|gesture_type|llm] \
+        [--use-inversion] [--insertion-guidance] \
+        [--guidance-iters decreasing_till_25] [--guidance-lr 0.1] \
+        [--test-batchsize 16] [--seed 0] [--render]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="RAG-Gesture inference")
+    p.add_argument("config")
+    p.add_argument("checkpoint", help="orbax params path")
+    p.add_argument("--out-dir", required=True)
+    p.add_argument("--retrieval-method", default="gesture_type",
+                   choices=["discourse", "gesture_type", "llm", "none"])
+    p.add_argument("--use-inversion", action="store_true")
+    p.add_argument("--insertion-guidance", action="store_true")
+    p.add_argument("--guidance-iters", default="decreasing_till_25",
+                   help="schedule name (tools/visualize.py:74-95) or "
+                        "comma list of ints")
+    p.add_argument("--guidance-lr", type=float, default=0.1)
+    p.add_argument("--outpaint", action="store_true")
+    p.add_argument("--test-batchsize", type=int, default=16)
+    p.add_argument("--max-batches", type=int, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--render", action="store_true",
+                   help="pyrender side-by-side mp4s (requires pyrender)")
+    p.add_argument("--options", nargs="+", default=[])
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from raggesture_tpu.builders import (
+        arch_config_from,
+        beatx_config_from,
+        build_architecture,
+        retrieval_config_from,
+    )
+    from raggesture_tpu.config import Config
+    from raggesture_tpu.datasets.build import build_dataset
+    from raggesture_tpu.datasets.sampler import DataLoader
+    from raggesture_tpu.models.architecture import (
+        InferenceOptions,
+        StagedGenerator,
+        guidance_iters_schedule,
+        init_params,
+    )
+    from raggesture_tpu.retrieval.database import (
+        RetrievalCorpus,
+        RetrievalDatabase,
+        host_batch_from_records,
+    )
+    from raggesture_tpu.train.checkpoint import load_params
+    from raggesture_tpu.train.runner import device_batch
+    from raggesture_tpu.utils.env import setup_compilation_cache
+    from raggesture_tpu.utils.logger import get_root_logger
+    from raggesture_tpu.utils.motion_io import (
+        reassemble_full_pose,
+        save_smplx_npz,
+        upsample_pose_aa,
+        linear_resample,
+    )
+
+    setup_compilation_cache()
+    logger = get_root_logger()
+    cfg = Config.fromfile(args.config)
+    if args.options:
+        cfg.merge_option_strings(args.options)
+
+    model = build_architecture(cfg.model)
+    fps = cfg.data.train.get("pose_fps", 15)
+
+    # datasets: train = retrieval corpus (reference visualize.py:132), test
+    test_dcfg = beatx_config_from(cfg.data.test)
+    test_ds = build_dataset(test_dcfg)
+    logger.info("test dataset: %d windows", len(test_ds))
+
+    db = None
+    if args.retrieval_method != "none":
+        train_ds = build_dataset(beatx_config_from(cfg.data.train))
+        rcfg = retrieval_config_from(cfg.model.model)
+        rcache = cfg.model.model.retrieval_cfg.get("cache_path")
+        if rcache and os.path.exists(os.path.join(rcache, "meta.json")) \
+                and not cfg.model.model.retrieval_cfg.get("new_cache", False):
+            corpus = RetrievalCorpus.load(rcache)
+            logger.info("loaded retrieval corpus from %s", rcache)
+        else:
+            corpus = RetrievalCorpus.build(train_ds, rcfg)
+            if rcache:
+                corpus.save(rcache)
+        db = RetrievalDatabase(corpus, rcfg, train_ds)
+        for hook in cfg.get("custom_hooks", []):
+            if hook.get("type") == "DatabaseSaveHook" and hook.get("save_dir"):
+                db.load_memo(hook["save_dir"])
+
+    # params
+    ex = test_ds[0]
+    from raggesture_tpu.datasets.beatx import collate
+
+    ex_batch = device_batch(collate([ex]))
+    params = init_params(model, jax.random.PRNGKey(0), ex_batch)
+    params = load_params(args.checkpoint, params)
+    logger.info("loaded checkpoint %s", args.checkpoint)
+
+    sched = model.cfg.diffusion_test.schedule()
+    gen = StagedGenerator(model, params, sched)
+    encode_fn = jax.jit(
+        lambda b: model.apply(params, b, rng=None, sample=False,
+                              method=model.encode_motion))
+
+    gi = None
+    if args.insertion_guidance:
+        if "," in args.guidance_iters:
+            gi = guidance_iters_schedule(
+                [int(v) for v in args.guidance_iters.split(",")],
+                sched.num_timesteps)
+        else:
+            gi = guidance_iters_schedule(args.guidance_iters,
+                                         sched.num_timesteps)
+    opts = InferenceOptions(
+        use_inversion=args.use_inversion,
+        insertion_guidance=args.insertion_guidance,
+        guidance_lr=args.guidance_lr,
+        outpaint=args.outpaint,
+    )
+    opts.validate()
+
+    loader = DataLoader(test_ds, args.test_batchsize, shuffle=True,
+                        drop_last=False, seed=args.seed)
+    rng = jax.random.PRNGKey(args.seed)
+    os.makedirs(args.out_dir, exist_ok=True)
+    factor = 30 // fps
+
+    for bi, batch in enumerate(loader):
+        if args.max_batches is not None and bi >= args.max_batches:
+            break
+        names = batch["sample_name"]
+        records = [test_ds[n] for n in names]
+        re_dict = None
+        if db is not None:
+            hb = host_batch_from_records(records)
+            re_dict = db(hb, names, encode_fn,
+                         method=args.retrieval_method)
+        rng, r = jax.random.split(rng)
+        out = gen(device_batch(batch), r, opts=opts, re_dict=re_dict,
+                  guidance_iters=gi)
+
+        pred_pose = reassemble_full_pose(out)           # (B, T, 165)
+        pred_exps = np.asarray(out["pred_exps"])
+        pred_trans = np.asarray(out["pred_transl"])
+        valid = batch.get("valid_mask", np.ones(len(names), bool))
+
+        for j, name in enumerate(names):
+            if not valid[j]:
+                continue
+            smp_dir = os.path.join(args.out_dir, name)
+            os.makedirs(smp_dir, exist_ok=True)
+            # 15 -> 30 fps in 6d space (visualize.py:265-291)
+            pp = upsample_pose_aa(pred_pose[j], factor) if factor > 1 \
+                else pred_pose[j]
+            pe = linear_resample(pred_exps[j], factor) if factor > 1 \
+                else pred_exps[j]
+            pt = linear_resample(pred_trans[j], factor) if factor > 1 \
+                else pred_trans[j]
+            save_smplx_npz(os.path.join(smp_dir, "pred_motion.npz"),
+                           pp, pe, pt, fps=30)
+            rec = records[j]
+            gp = upsample_pose_aa(np.asarray(rec["motion"]), factor)
+            ge = linear_resample(np.asarray(rec["facial"]), factor)
+            gt = linear_resample(np.asarray(rec["trans"]), factor)
+            save_smplx_npz(os.path.join(smp_dir, "gt_motion.npz"),
+                           gp, ge, gt, betas=rec.get("beta", [None])[0],
+                           fps=30)
+            with open(os.path.join(smp_dir, "gt_text.txt"), "w") as f:
+                f.write(str(rec.get("raw_word", "")))
+            raw_audio = rec.get("raw_audio")
+            if raw_audio is not None and np.asarray(raw_audio).size:
+                from scipy.io import wavfile
+
+                wavfile.write(os.path.join(smp_dir, "gt_audio.wav"), 16000,
+                              (np.asarray(raw_audio) * 32767).astype(np.int16))
+            if re_dict is not None and re_dict["num_queries"] > 0:
+                rm = np.asarray(re_dict["raw_motion"])[j, 0]
+                rt = np.asarray(re_dict["raw_trans"])[j, 0]
+                rf = np.asarray(re_dict["raw_facial"])[j, 0]
+                rm_pose = rm[:, :165]
+                save_smplx_npz(os.path.join(smp_dir, "retrieval_0.npz"),
+                               upsample_pose_aa(rm_pose, factor),
+                               linear_resample(rf, factor),
+                               linear_resample(rt, factor), fps=30)
+                with open(os.path.join(smp_dir, "retrieval_list.txt"), "w") as f:
+                    json.dump({
+                        "names": re_dict["raw_sample_names"][j],
+                        "type2words": {
+                            str(k): list(v) for k, v in
+                            re_dict["raw_type2words"][j].items()},
+                        "query_startends": {
+                            str(k): list(v) for k, v in
+                            re_dict["query_startends"][j].items()},
+                    }, f, indent=1)
+            if args.render:
+                from raggesture_tpu.utils.visualization import (
+                    render_gt_pred_side_by_side,
+                )
+
+                render_gt_pred_side_by_side(
+                    os.path.join(smp_dir, "gt_motion.npz"),
+                    os.path.join(smp_dir, "pred_motion.npz"),
+                    os.path.join(smp_dir, "side_by_side.mp4"),
+                    audio_path=os.path.join(smp_dir, "gt_audio.wav"),
+                )
+        logger.info("batch %d: wrote %d samples", bi, int(np.sum(valid)))
+
+    # persist retrieval memoization (DatabaseSaveHook after test epoch)
+    if db is not None:
+        for hook in cfg.get("custom_hooks", []):
+            if hook.get("type") == "DatabaseSaveHook" and hook.get("save_dir"):
+                db.save_memo(hook["save_dir"])
+    logger.info("results in %s", args.out_dir)
+
+
+if __name__ == "__main__":
+    main()
