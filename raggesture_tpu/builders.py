@@ -174,6 +174,10 @@ def optim_config_from(cfg: Config, total_steps: int) -> OptimConfig:
         grad_clip=_get(opt_cfg, "grad_clip"),
         weight_decay=_get(opt, "weight_decay", 0.0)
         if opt_type.lower() == "adamw" else 0.0,
+        # top-level fp16=dict(...) (mmcv Fp16OptimizerHook style) or
+        # optimizer.bf16=True both enable bf16 mixed precision
+        bf16_compute=bool(cfg.get("fp16") is not None
+                          or _get(opt, "bf16", False)),
     )
 
 

@@ -134,6 +134,14 @@ class Evaluator:
                     self.mpjpe.compute_error(
                         pj[:Tr][active], rj[active])
 
+            # SRGR on semantic-scored frames (:413-426) — needs the
+            # sem_score.npy sidecar written by tools/visualize.py
+            sem_path = os.path.join(rdir, "sem_score.npy")
+            if self.cfg.compute_srgr and os.path.exists(sem_path):
+                sem = np.load(sem_path).reshape(-1)[:T]
+                if sem.shape[0] == T:
+                    self.srgr.run(pj, gj, sem)
+
             # beat alignment (:396-410)
             wav = os.path.join(rdir, "gt_audio.wav")
             if os.path.exists(wav):
@@ -171,6 +179,8 @@ class Evaluator:
             out["l1div_gt"] = self.l1div_gt.avg()
         if self.mpjpe.total_joints:
             out["mpjpe_retrieval"] = self.mpjpe.get_average_error()
+        if self.srgr.counter:
+            out["srgr"] = self.srgr.avg()
         if len(self.joints_per_clip) >= 2:
             L = min(j.shape[0] for j in self.joints_per_clip)
             out["diversity"] = M.calculate_avg_distance(

@@ -474,26 +474,70 @@ class StagedGenerator:
         self._common = dict(mean_type=mean_type, var_type=var_type,
                             cfg_scale=cfg_scale)
 
-        if fused:
-            from .fused_denoiser import fused_denoise
+        def bound_apply(p, x, t_orig, mmask, cc, qq, cm):
+            return model.apply(p, x, t_orig, mmask, cc, qq, cm, True,
+                               method=model.denoise)
 
-            def bound_apply(p, x, t_orig, mmask, cc, qq, cm):
-                return fused_denoise(p, cfg.denoiser, x, t_orig, mmask, cc,
-                                     qq, cm, use_pallas=True)
-        else:
-            def bound_apply(p, x, t_orig, mmask, cc, qq, cm):
-                return model.apply(p, x, t_orig, mmask, cc, qq, cm, True,
-                                   method=model.denoise)
+        def build_model_fn(p, conds, token_mask, qm, coef_table, js,
+                           mixed: bool):
+            """Sampler model_fn for one traced loop.
+
+            Fused path: the linear cross-attention contexts (a function of
+            the conditions only, never of x or t) are precomputed HERE —
+            once per loop trace, outside the scan — so the 50-step chain
+            never touches the condition-side GEMMs (the reference recomputes
+            k/v in all 2x50x8x3 cross-attention calls)."""
+            mixed = mixed and cfg.scale_func is not None
+            if not fused:
+                ba = lambda *a: bound_apply(p, *a)
+                if mixed:
+                    return make_mixed_model_fn(ba, conds, token_mask, qm,
+                                               coef_table, js)
+                return make_conditioned_model_fn(ba, conds, token_mask, qm)
+
+            from .conditioning import mix_outputs
+            from .fused_denoiser import (
+                fused_denoise_ctx,
+                precompute_cross_contexts,
+            )
+
+            pd = p["params"]["denoiser"] if "denoiser" in p.get(
+                "params", {}) else p["params"]
+            if mixed:
+                B = token_mask.shape[0]
+                conds2 = {k: jnp.concatenate([v, v], axis=0)
+                          for k, v in conds.items()}
+                mask2 = jnp.concatenate([token_mask, token_mask], axis=0)
+                qm2 = {k: jnp.concatenate([v, v], axis=0)
+                       for k, v in qm.items()}
+                cm2 = jnp.concatenate(
+                    [jnp.ones((B, 1, 1)), jnp.zeros((B, 1, 1))], axis=0)
+                ctx = precompute_cross_contexts(pd, cfg.denoiser, conds2, cm2)
+
+                def model_fn(x, t_orig, step_idx):
+                    Bx = x.shape[0]
+                    x2 = jnp.concatenate([x, x], axis=0)
+                    t2 = jnp.concatenate([t_orig, t_orig], axis=0)
+                    out = fused_denoise_ctx(p, cfg.denoiser, x2, t2, mask2,
+                                            ctx, qm2)
+                    return mix_outputs(out, Bx, coef_table, step_idx, js)
+
+                return model_fn
+
+            cm = jnp.ones((token_mask.shape[0], 1, 1))
+            ctx = precompute_cross_contexts(pd, cfg.denoiser, conds, cm)
+
+            def model_fn(x, t_orig, step_idx):
+                return fused_denoise_ctx(p, cfg.denoiser, x, t_orig,
+                                         token_mask, ctx, qm)
+
+            return model_fn
 
         def ddim_loop(p, noise, rng, conds, token_mask, coef_table, js,
                       in_seq, use_in_seq):
             qm = default_query_masks(cfg.denoiser, noise.shape[0])
-            model_fn = make_mixed_model_fn(
-                lambda *a: bound_apply(p, *a), conds, token_mask, qm,
-                coef_table, js,
-            ) if cfg.scale_func is not None else make_conditioned_model_fn(
-                lambda *a: bound_apply(p, *a), conds, token_mask, qm,
-            )
+            model_fn = build_model_fn(p, conds, token_mask, qm, coef_table,
+                                      js, mixed=True)
             return S.ddim_sample_loop(
                 model_fn, sched_test, noise, rng,
                 in_seq=in_seq if use_in_seq else None, **self._common,
@@ -506,12 +550,8 @@ class StagedGenerator:
         def guided_loop(p, noise, rng, conds, token_mask, coef_table, js,
                         inv_all, gi, lr, init_in_seq):
             qm = default_query_masks(cfg.denoiser, noise.shape[0])
-            model_fn = make_mixed_model_fn(
-                lambda *a: bound_apply(p, *a), conds, token_mask, qm,
-                coef_table, js,
-            ) if cfg.scale_func is not None else make_conditioned_model_fn(
-                lambda *a: bound_apply(p, *a), conds, token_mask, qm,
-            )
+            model_fn = build_model_fn(p, conds, token_mask, qm, coef_table,
+                                      js, mixed=True)
             return S.ddim_guided_sample_loop(
                 model_fn, sched_test, noise, rng, inverted_latents=inv_all,
                 guidance_iters=gi, guidance_lr=lr, init_in_seq=init_in_seq,
@@ -523,17 +563,66 @@ class StagedGenerator:
         def invert_loop(p, inv_lat, inv_mask, conds):
             Q = inv_lat.shape[0]
             qm = default_query_masks(cfg.denoiser, Q)
-
-            def mf(x, t_orig, step_idx):
-                cm = jnp.ones((x.shape[0], 1, 1), x.dtype)
-                return bound_apply(p, x, t_orig, inv_mask, conds, qm, cm)
-
+            mf = build_model_fn(p, conds, inv_mask, qm, None, None,
+                                mixed=False)
             return S.ddim_reverse_sample_loop(
                 mf, sched_test, inv_lat, return_all_timesteps=True,
                 **self._common,
             )
 
         self._invert = jax.jit(invert_loop)
+
+        def ddim_cond_loop(p, noise, token_mask, conds):
+            """Plain conditioned DDIM (no scale-func mixing) — the exact
+            forward inverse of invert_loop, for the inversion self-check."""
+            qm = default_query_masks(cfg.denoiser, noise.shape[0])
+            model_fn = build_model_fn(p, conds, token_mask, qm, None, None,
+                                      mixed=False)
+            return S.ddim_sample_loop(model_fn, sched_test, noise,
+                                      jax.random.PRNGKey(0), **self._common)
+
+        self._ddim_cond = jax.jit(ddim_cond_loop)
+
+        def prep(r_coef, r_noise, shape):
+            """Per-call prologue (one dispatch): the scale-func coefficient
+            table with its >t100 coin flips + the start noise."""
+            coef = (
+                scale_func_table(r_coef, sched_test, cfg.scale_func,
+                                 cfg.diffusion_train.diffusion_steps)
+                if cfg.scale_func is not None
+                else jnp.zeros((sched_test.num_timesteps, 4))
+            )
+            return coef, jax.random.normal(r_noise, shape)
+
+        self._prep = jax.jit(prep, static_argnames=("shape",))
+
+    def inversion_self_check(self, re_dict) -> Dict[str, jnp.ndarray]:
+        """Numerical sanity check of the DDIM inversion round-trip
+        (reference --visualize_inversion, diffusion_architecture.py:316-382):
+
+          - ``error_curve`` (S, Q): MSE between each inversion step's latent
+            and the clean exemplar latent — should grow with noise level;
+          - ``recon_error`` (Q,): MSE after DDIM-sampling back down from the
+            final inverted latent under the same conditions — should be
+            small (the round trip is the identity up to discretization);
+          - ``recon_decoded``: decoded body-part motions of the round-trip
+            reconstruction (for visual comparison against retrieval_0.npz).
+        """
+        p = self.params
+        inv_lat = jnp.asarray(re_dict["inv_latents"])
+        inv_mask = jnp.asarray(re_dict["inv_mask"])
+        inv_conds = self._conds(p, {
+            "word": jnp.asarray(re_dict["inv_conds"]["word"]),
+            "audio": jnp.asarray(re_dict["inv_conds"]["audio"]),
+            "speaker_ids": jnp.asarray(re_dict["inv_conds"]["speaker_ids"]),
+        })
+        stack = self._invert(p, inv_lat, inv_mask, inv_conds)  # (S, Q, T, D)
+        error_curve = jnp.mean((stack - inv_lat[None]) ** 2, axis=(2, 3))
+        recon = self._ddim_cond(p, stack[-1], inv_mask, inv_conds)
+        recon_error = jnp.mean((recon - inv_lat) ** 2, axis=(1, 2))
+        decoded = self._decode(p, recon)
+        return {"error_curve": error_curve, "recon_error": recon_error,
+                "recon_decoded": {f"pred_{k}": v for k, v in decoded.items()}}
 
     def __call__(self, batch, rng, opts: InferenceOptions = InferenceOptions(),
                  re_dict=None, guidance_iters=None, prev_latent=None):
@@ -547,14 +636,8 @@ class StagedGenerator:
         B, T, D = z_gt.shape
         conds = self._conds(p, {"word": batch["word"], "audio": batch["audio"],
                                 "speaker_ids": batch["speaker_ids"]})
-        coef_table = (
-            scale_func_table(r_coef, self.sched, cfg.scale_func,
-                             cfg.diffusion_train.diffusion_steps)
-            if cfg.scale_func is not None
-            else jnp.zeros((self.sched.num_timesteps, 4))
-        )
+        coef_table, start_noise = self._prep(r_coef, r_noise, (B, T, D))
         js = joint_scale_vector(dcfg, cfg.per_joint_scale)
-        start_noise = jax.random.normal(r_noise, (B, T, D))
         inv_all = None
 
         if opts.use_inversion:

@@ -135,3 +135,16 @@ def make_conditioned_model_fn(
         return apply_fn(x, t_orig, motion_mask, conds, query_masks, cond_mask)
 
     return model_fn
+
+
+def mix_outputs(out2: jnp.ndarray, B: int, coef_table: jnp.ndarray,
+                step_idx, joint_scale: jnp.ndarray) -> jnp.ndarray:
+    """Combine the (2B, T, D) cond/uncond denoiser output with the scale-func
+    coefficients (the tail of forward_test, raggesture.py:1091-1113)."""
+    out_text, out_none = out2[:B], out2[B:]
+    both = coef_table[step_idx, 0]
+    text = coef_table[step_idx, 1]
+    retr = coef_table[step_idx, 2]
+    none = coef_table[step_idx, 3]
+    js = joint_scale[None, :, None]
+    return out_text * (both + text) * js + out_none * (retr + none) / js

@@ -40,6 +40,11 @@ class OptimConfig:
     weight_decay: float = 0.0
     b1: float = 0.9
     b2: float = 0.999
+    # bf16 mixed precision: forward/backward in bfloat16 with fp32 master
+    # weights and fp32 optimizer state — the TPU-native equivalent of the
+    # reference's optional Fp16OptimizerHook (mogen/apis/train.py:131-139);
+    # no loss scaling needed (bf16 shares fp32's exponent range)
+    bf16_compute: bool = False
 
 
 def param_labels(params) -> Any:
@@ -97,15 +102,31 @@ def create_train_state(model: MotionDiffusionModel, params,
                       step=jnp.zeros((), jnp.int32)), tx
 
 
+def _cast_floats(tree, dtype):
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dtype)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, tree)
+
+
 def make_train_step(model: MotionDiffusionModel, tx,
-                    sched_train: DiffusionSchedule):
-    """Build the pure train-step fn (jit/pjit-ready)."""
+                    sched_train: DiffusionSchedule,
+                    bf16_compute: bool = False):
+    """Build the pure train-step fn (jit/pjit-ready).
+
+    ``bf16_compute``: params and batch are cast to bfloat16 for the
+    forward/backward; the cast's vjp accumulates gradients back into the
+    fp32 master params that the optimizer updates."""
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                    rng: jax.Array):
         rng = jax.random.fold_in(rng, state.step)
 
         def loss_fn(params):
+            if bf16_compute:
+                loss, logs = training_loss(
+                    model, _cast_floats(params, jnp.bfloat16), sched_train,
+                    _cast_floats(batch, jnp.bfloat16), rng)
+                return loss.astype(jnp.float32), logs
             return training_loss(model, params, sched_train, batch, rng)
 
         (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(

@@ -103,7 +103,9 @@ def train_model(
     from ..diffusion.schedules import DiffusionSchedule  # noqa: F401
 
     sched_train = model.cfg.diffusion_train.schedule()
-    step_fn = jit_train_step(make_train_step(model, tx, sched_train), mesh)
+    step_fn = jit_train_step(
+        make_train_step(model, tx, sched_train,
+                        bf16_compute=optim_cfg.bf16_compute), mesh)
     state = replicate_tree(state, mesh)
     rng = jax.device_put(jax.random.PRNGKey(seed), replicated(mesh))
 

@@ -121,3 +121,19 @@ def test_multimodality(tmp_path):
                           with_retrieval=False, with_audio=False)
         same.append(root)
     assert multimodality(same, eval_n=64) == 0.0
+
+
+def test_evaluator_srgr(result_root, tmp_path):
+    # add sem_score sidecars and enable SRGR
+    import shutil
+
+    root = str(tmp_path / "with_sem")
+    shutil.copytree(result_root, root)
+    rng = np.random.RandomState(9)
+    for d in find_result_dirs(root):
+        np.save(os.path.join(d, "sem_score.npy"),
+                rng.rand(64, 1).astype(np.float32))
+    cfg = EvalConfig(eval_n=64, compute_fgd=False, compute_srgr=True)
+    ev = Evaluator(cfg, fk_fn=_fk_fn())
+    s = ev.evaluate(root)
+    assert "srgr" in s and s["srgr"] >= 0

@@ -131,3 +131,58 @@ def test_stacked_adaln_matches_per_block():
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(sh), np.asarray(direct[:, D:]),
                                atol=1e-5)
+
+
+def test_fused_denoise_ctx_matches_module():
+    """Cached cross-attention contexts: identical output to the module."""
+    from raggesture_tpu.models.fused_denoiser import (
+        fused_denoise_ctx,
+        precompute_cross_contexts,
+    )
+
+    cfg, den, params, (x, t, mask, word, audio, spk) = _setup()
+    B = x.shape[0]
+    conds = den.apply(params, word, audio, spk, method=den.encode_conditions)
+    qm = default_query_masks(cfg, B)
+    cm = jnp.ones((B, 1, 1))
+    ref = den.apply(params, x, t, mask, conds, qm, cm)
+    ctx = precompute_cross_contexts(params["params"], cfg, conds, cm)
+    out = fused_denoise_ctx(params, cfg, x, t, mask, ctx, qm,
+                            use_pallas=False)
+    valid = np.asarray(mask) > 0
+    np.testing.assert_allclose(np.asarray(out)[valid], np.asarray(ref)[valid],
+                               atol=3e-5)
+    # dropped conditions (cm = 0) also match
+    cm0 = jnp.zeros((B, 1, 1))
+    ref0 = den.apply(params, x, t, mask, conds, qm, cm0)
+    ctx0 = precompute_cross_contexts(params["params"], cfg, conds, cm0)
+    out0 = fused_denoise_ctx(params, cfg, x, t, mask, ctx0, qm,
+                             use_pallas=False)
+    np.testing.assert_allclose(np.asarray(out0)[valid],
+                               np.asarray(ref0)[valid], atol=3e-5)
+
+
+def test_staged_generator_fused_matches_plain_on_cpu():
+    """StagedGenerator(fused=True) on CPU (XLA twins + cached contexts)
+    equals the plain module path through a full sampling run."""
+    from raggesture_tpu.datasets.fixtures import tiny_arch_config, tiny_batch
+    from raggesture_tpu.models.architecture import (
+        MotionDiffusionModel,
+        StagedGenerator,
+    )
+
+    cfg = tiny_arch_config()
+    model = MotionDiffusionModel(cfg)
+    batch = tiny_batch(batch=2)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "vae": jax.random.PRNGKey(1)},
+        batch)
+    sched = cfg.diffusion_test.schedule()
+    plain = StagedGenerator(model, params, sched, fused=False)
+    fused = StagedGenerator(model, params, sched, fused=True)
+    r = jax.random.PRNGKey(3)
+    out_p = plain(batch, r)
+    out_f = fused(batch, r)
+    np.testing.assert_allclose(np.asarray(out_f["output_latents"]),
+                               np.asarray(out_p["output_latents"]),
+                               atol=5e-4)

@@ -63,3 +63,45 @@ def test_fused_self_attention_padding_independence():
                                 interpret=True)
     np.testing.assert_allclose(np.asarray(out2[:, :T]), np.asarray(out),
                                atol=1e-5)
+
+
+def test_fused_cross_attention_matches_xla():
+    from raggesture_tpu.models.denoiser import EfficientCrossAttention
+    from raggesture_tpu.ops.pallas.linear_attention_kernel import (
+        fused_cross_attention,
+    )
+
+    B, T, N, D, H, E = 2, 43, 37, 512, 16, 128
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(B, T, D), jnp.float32) * 0.5
+    xf = jnp.asarray(rng.randn(B, N, D), jnp.float32) * 0.5
+    emb = jnp.asarray(rng.randn(B, E), jnp.float32)
+    qm = np.ones((B, T), np.float32)
+    qm[:, [10, 21, 32]] = 0.0
+    qm = jnp.asarray(qm)
+    cm = jnp.ones((B, 1, 1))
+
+    mod = EfficientCrossAttention(D, H, 0.0)
+    params = mod.init(jax.random.PRNGKey(6), x, xf, emb, query_mask=qm,
+                      cond_mask=cm)["params"]
+    params["proj_out"]["out_proj"]["kernel"] = 0.02 * jax.random.normal(
+        jax.random.PRNGKey(7), (D, D))
+
+    ref = mod.apply({"params": params}, x, xf, emb, query_mask=qm,
+                    cond_mask=cm)
+    scale, shift = adaln_scale_shift(emb, params["proj_out"])
+    out = fused_cross_attention(x, xf, qm[..., None], cm, scale, shift,
+                                params, num_heads=H, interpret=True)
+    # valid (non-separator) tokens only: the -1e6 query-mask quirk makes
+    # separator rows catastrophically cancel (framework-dependent noise)
+    valid = np.asarray(qm) > 0
+    np.testing.assert_allclose(np.asarray(out)[valid], np.asarray(ref)[valid],
+                               atol=2e-5)
+    # condition dropout (cm=0): both paths agree on valid tokens too
+    cm0 = jnp.zeros((B, 1, 1))
+    ref0 = mod.apply({"params": params}, x, xf, emb, query_mask=qm,
+                     cond_mask=cm0)
+    out0 = fused_cross_attention(x, xf, qm[..., None], cm0, scale, shift,
+                                 params, num_heads=H, interpret=True)
+    np.testing.assert_allclose(np.asarray(out0)[valid],
+                               np.asarray(ref0)[valid], atol=2e-5)

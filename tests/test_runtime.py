@@ -178,3 +178,37 @@ def test_device_batch_filters_host_fields():
          "word": np.zeros((2, 3)), "sample_name": ["x", "y"]}
     db = device_batch(b)
     assert set(db) == {"motion_upper", "word"}
+
+
+def test_bf16_train_step():
+    """bf16 mixed precision (OptimConfig.bf16_compute): step runs, loss
+    finite, params stay fp32 (master weights)."""
+    cfg = tiny_arch_config()
+    model = MotionDiffusionModel(cfg)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "vae": jax.random.PRNGKey(1)},
+        tiny_batch(batch=2),
+    )
+    from raggesture_tpu.train.loop import make_train_step
+    from raggesture_tpu.parallel.mesh import make_mesh, replicate_tree, replicated, shard_batch
+    from raggesture_tpu.train.loop import jit_train_step
+
+    state, tx = create_train_state(model, params, OptimConfig(
+        total_steps=4, bf16_compute=True))
+    mesh = make_mesh(1)
+    step = jit_train_step(make_train_step(model, tx, cfg.diffusion_train.schedule(),
+                                          bf16_compute=True), mesh)
+    state = replicate_tree(state, mesh)
+    batch = shard_batch(tiny_batch(batch=2), mesh)
+    rng = jax.device_put(jax.random.PRNGKey(0), replicated(mesh))
+    # host snapshot before the step (the jit donates the input state)
+    before = jax.tree_util.tree_map(np.asarray, state.params)
+    state2, logs = step(state, batch, rng)
+    assert np.isfinite(float(logs["recon_loss"]))
+    # master params remain fp32 and actually moved
+    leaf = jax.tree_util.tree_leaves(state2.params)[0]
+    assert leaf.dtype == jnp.float32
+    moved = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(np.asarray(a) - b).max()),
+        state2.params, before)
+    assert max(jax.tree_util.tree_leaves(moved)) > 0

@@ -41,6 +41,10 @@ def parse_args():
                         "comma list of ints")
     p.add_argument("--guidance-lr", type=float, default=0.1)
     p.add_argument("--outpaint", action="store_true")
+    p.add_argument("--visualize-inversion", action="store_true",
+                   help="run the DDIM inversion round-trip self-check and "
+                        "save the reconstructed exemplars (reference "
+                        "--visualize_inversion)")
     p.add_argument("--test-batchsize", type=int, default=16)
     p.add_argument("--max-batches", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
@@ -167,6 +171,30 @@ def main():
             hb = host_batch_from_records(records)
             re_dict = db(hb, names, encode_fn,
                          method=args.retrieval_method)
+        if (args.visualize_inversion and re_dict is not None
+                and re_dict["num_queries"] > 0):
+            chk = gen.inversion_self_check(re_dict)
+            curve = np.asarray(chk["error_curve"])  # (S, Q)
+            logger.info("inversion error curve (should grow with t): %s",
+                        np.round(curve.mean(axis=1), 3).tolist())
+            logger.info("inversion round-trip recon error (should be "
+                        "small): %s",
+                        np.round(np.asarray(chk["recon_error"]), 5).tolist())
+            inv_pose = reassemble_full_pose(chk["recon_decoded"])
+            inv_dir = os.path.join(args.out_dir, f"inversion_check_b{bi}")
+            os.makedirs(inv_dir, exist_ok=True)
+            for q in range(inv_pose.shape[0]):
+                save_smplx_npz(
+                    os.path.join(inv_dir, f"inv_recon_{q}.npz"),
+                    upsample_pose_aa(inv_pose[q], factor) if factor > 1
+                    else inv_pose[q],
+                    linear_resample(np.asarray(
+                        chk["recon_decoded"]["pred_exps"])[q], factor),
+                    linear_resample(np.asarray(
+                        chk["recon_decoded"]["pred_transl"])[q], factor),
+                    fps=30)
+            np.save(os.path.join(inv_dir, "error_curve.npy"), curve)
+
         rng, r = jax.random.split(rng)
         out = gen(device_batch(batch), r, opts=opts, re_dict=re_dict,
                   guidance_iters=gi)
@@ -199,6 +227,11 @@ def main():
                            fps=30)
             with open(os.path.join(smp_dir, "gt_text.txt"), "w") as f:
                 f.write(str(rec.get("raw_word", "")))
+            if "sem_score" in rec:
+                # per-frame semantic scores for SRGR, interpolated to 30 fps
+                np.save(os.path.join(smp_dir, "sem_score.npy"),
+                        linear_resample(np.asarray(rec["sem_score"],
+                                                   np.float32), factor))
             raw_audio = rec.get("raw_audio")
             if raw_audio is not None and np.asarray(raw_audio).size:
                 from scipy.io import wavfile
