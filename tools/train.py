@@ -90,12 +90,19 @@ def main():
     dcfg = beatx_config_from(cfg.data.train)
     extractor = None
     try:
-        from raggesture_tpu.datasets.beatx import HFFeatureExtractor
+        # TPU-side flax featurizers first, torch-CPU HF as fallback
+        from raggesture_tpu.datasets.beatx import FlaxHFFeatureExtractor
 
-        extractor = HFFeatureExtractor()
-    except Exception as e:
-        logger.warning("HF feature extractors unavailable (%s); the cache "
-                       "must already exist or features will be stubbed", e)
+        extractor = FlaxHFFeatureExtractor()
+    except Exception:
+        try:
+            from raggesture_tpu.datasets.beatx import HFFeatureExtractor
+
+            extractor = HFFeatureExtractor()
+        except Exception as e:
+            logger.warning("HF feature extractors unavailable (%s); the "
+                           "cache must already exist or features will be "
+                           "stubbed", e)
     dataset = build_dataset(dcfg, extractor)
     logger.info("train dataset: %d windows", len(dataset))
 
