@@ -20,6 +20,7 @@ from __future__ import annotations
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -51,3 +52,36 @@ def shard_batch(batch, mesh: Mesh, axis_name: str = DATA_AXIS):
 def replicate_tree(tree, mesh: Mesh):
     rep = replicated(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), tree)
+
+
+def sharded_sampler(gen, mesh: Mesh, axis_name: str = DATA_AXIS):
+    """Data-parallel sampling over the mesh (the serving-scale path).
+
+    Wraps a StagedGenerator's plain-DDIM stage in shard_map: params /
+    schedule tables replicated, batch-dim tensors sharded over the data
+    axis.  Inference is embarrassingly data-parallel (zero collectives), so
+    each device runs the full 50-step program on its batch shard and Pallas
+    kernels see per-device shapes (no partitioning rules needed).
+
+    Returns sample_fn(params, noise, rng, conds, token_mask, coef_table,
+    js) -> latents, with noise/conds/token_mask sharded on dim 0.
+    The rng is replicated; per-device noise divergence comes from the
+    sharded start noise (and eta=0 DDIM consumes no in-loop randomness).
+    """
+    from jax.experimental.shard_map import shard_map
+
+    def fn(params, noise, rng, conds, token_mask, coef_table, js):
+        in_seq = jnp.zeros_like(noise)
+        return gen._ddim_plain.__wrapped__(
+            params, noise, rng, conds, token_mask, coef_table, js, in_seq,
+        )
+
+    rep = P()
+    bat = P(axis_name)
+    sm = shard_map(
+        fn, mesh=mesh,
+        in_specs=(rep, bat, rep, bat, bat, rep, rep),
+        out_specs=bat,
+        check_rep=False,
+    )
+    return jax.jit(sm)

@@ -143,6 +143,62 @@ def make_train_step(model: MotionDiffusionModel, tx,
     return train_step
 
 
+def make_val_step(model: MotionDiffusionModel,
+                  sched_train: DiffusionSchedule):
+    """Validation step: the training loss without gradients (reference
+    BaseArchitecture.val_step, base_architecture.py:91-135)."""
+
+    def val_step(state: TrainState, batch: Dict[str, jnp.ndarray],
+                 rng: jax.Array):
+        loss, logs = training_loss(model, state.params, sched_train, batch,
+                                   rng)
+        return dict(logs)
+
+    return val_step
+
+
+def jit_val_step(val_step, mesh):
+    from ..parallel.mesh import batch_sharding, replicated
+
+    rep = replicated(mesh)
+    bsh = batch_sharding(mesh)
+    return jax.jit(val_step, in_shardings=(rep, bsh, rep),
+                   out_shardings=rep)
+
+
+def build_optimizers(cfg_map: Dict[str, "OptimConfig"], params
+                     ) -> optax.GradientTransformation:
+    """Per-submodule optimizers (reference mogen/core/optimizer/builder.py:
+    8-52: a dict-of-cfgs builds one optimizer per top-level submodule).
+
+    ``cfg_map`` maps top-level param-tree keys (e.g. "denoiser", "codec")
+    to their OptimConfig; keys absent from the map are frozen."""
+
+    def label(path, _):
+        names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+        for key in cfg_map:
+            if key in names:
+                return key
+        return "__frozen__"
+
+    labels = jax.tree_util.tree_map_with_path(label, params)
+    transforms: Dict[str, optax.GradientTransformation] = {
+        "__frozen__": optax.set_to_zero()
+    }
+    for key, cfg in cfg_map.items():
+        schedule = optax.cosine_decay_schedule(cfg.lr, cfg.total_steps,
+                                               alpha=cfg.min_lr_ratio)
+        chain = []
+        if cfg.grad_clip is not None:
+            chain.append(optax.clip_by_global_norm(cfg.grad_clip))
+        chain.append(optax.adamw(schedule, b1=cfg.b1, b2=cfg.b2,
+                                 weight_decay=cfg.weight_decay)
+                     if cfg.weight_decay > 0
+                     else optax.adam(schedule, b1=cfg.b1, b2=cfg.b2))
+        transforms[key] = optax.chain(*chain)
+    return optax.multi_transform(transforms, labels)
+
+
 def jit_train_step(train_step, mesh):
     """Jit the step with data-parallel shardings: state replicated, batch
     sharded on the batch dim (XLA inserts the gradient all-reduce)."""

@@ -70,6 +70,9 @@ def train_model(
     retrieval_db=None,
     retrieval_save_dir: Optional[str] = None,
     mesh=None,
+    val_loader=None,
+    val_interval: int = 1,
+    val_max_batches: int = 8,
 ) -> TrainState:
     """Run the epoch loop; returns the final TrainState (host-fetched)."""
     logger = get_root_logger()
@@ -106,6 +109,11 @@ def train_model(
     step_fn = jit_train_step(
         make_train_step(model, tx, sched_train,
                         bf16_compute=optim_cfg.bf16_compute), mesh)
+    val_fn = None
+    if val_loader is not None:
+        from .loop import jit_val_step, make_val_step
+
+        val_fn = jit_val_step(make_val_step(model, sched_train), mesh)
     state = replicate_tree(state, mesh)
     rng = jax.device_put(jax.random.PRNGKey(seed), replicated(mesh))
 
@@ -123,6 +131,19 @@ def train_model(
                     host_logs = {k: float(v) for k, v in logs.items()}
                     host_logs["epoch_time"] = time.time() - t_epoch
                     writer.write(step, host_logs, epoch=epoch)
+            if val_fn is not None and (epoch + 1) % val_interval == 0:
+                # validation pass (reference val workflow / val_step)
+                val_logs = []
+                for vb_i, vbatch in enumerate(val_loader):
+                    if vb_i >= val_max_batches:
+                        break
+                    vdb = shard_batch(device_batch(vbatch), mesh)
+                    val_logs.append(val_fn(state, vdb, rng))
+                if val_logs:
+                    agg = {k: float(np.mean([float(l[k]) for l in val_logs]))
+                           for k in val_logs[0]}
+                    writer.write(int(state.step), agg, prefix="val",
+                                 epoch=epoch, force=True)
             if retrieval_db is not None and retrieval_save_dir and \
                     epoch == start_epoch:
                 # reference DatabaseSaveHook: persist memoization after the

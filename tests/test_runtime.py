@@ -212,3 +212,102 @@ def test_bf16_train_step():
         lambda a, b: float(np.abs(np.asarray(a) - b).max()),
         state2.params, before)
     assert max(jax.tree_util.tree_leaves(moved)) > 0
+
+
+def test_sharded_sampler_multichip():
+    """Data-parallel sampling over the virtual 8-device mesh matches the
+    single-device result (inference is embarrassingly data-parallel)."""
+    from raggesture_tpu.models.architecture import StagedGenerator
+    from raggesture_tpu.models.conditioning import (
+        joint_scale_vector,
+        scale_func_table,
+    )
+    from raggesture_tpu.parallel.mesh import (
+        batch_sharding,
+        make_mesh,
+        replicate_tree,
+        sharded_sampler,
+    )
+
+    n_dev = jax.device_count()
+    assert n_dev >= 2, "conftest should provide 8 virtual devices"
+    cfg = tiny_arch_config()
+    model = MotionDiffusionModel(cfg)
+    B = n_dev  # one sample per device
+    batch = tiny_batch(batch=B)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "vae": jax.random.PRNGKey(1)},
+        tiny_batch(batch=2))
+    sched = cfg.diffusion_test.schedule()
+    gen = StagedGenerator(model, params, sched, fused=False)
+
+    z, mask = gen._encode(params, batch)
+    conds = gen._conds(params, {"word": batch["word"],
+                                "audio": batch["audio"],
+                                "speaker_ids": batch["speaker_ids"]})
+    coef = scale_func_table(jax.random.PRNGKey(1), sched, cfg.scale_func,
+                            cfg.diffusion_train.diffusion_steps)
+    js = joint_scale_vector(cfg.denoiser)
+    noise = jax.random.normal(jax.random.PRNGKey(2), z.shape)
+
+    # single-device reference
+    ref = gen._ddim_plain(params, noise, jax.random.PRNGKey(3), conds, mask,
+                          coef, js, jnp.zeros_like(noise))
+
+    mesh = make_mesh()
+    sample = sharded_sampler(gen, mesh)
+    bsh = batch_sharding(mesh)
+    put = lambda x: jax.device_put(x, bsh)
+    out = sample(replicate_tree(params, mesh), put(noise),
+                 jax.random.PRNGKey(3),
+                 jax.tree_util.tree_map(put, conds), put(mask),
+                 replicate_tree(coef, mesh), replicate_tree(js, mesh))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+    # output really is sharded over the mesh
+    assert len(out.sharding.device_set) == n_dev
+
+
+def test_train_model_with_validation(tmp_path):
+    """val_loader wiring: 'val'-prefixed rows land in metrics.jsonl."""
+    import json
+
+    cfg = tiny_arch_config()
+    model = MotionDiffusionModel(cfg)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "vae": jax.random.PRNGKey(1)},
+        tiny_batch(batch=2))
+    ds = _ListDataset(_records(16))
+    dl = DataLoader(ds, batch_size=8, shuffle=True, drop_last=True)
+    vdl = DataLoader(_ListDataset(_records(8)), batch_size=8, shuffle=False,
+                     drop_last=True)
+    wd = str(tmp_path / "run")
+    train_model(model, dl, OptimConfig(total_steps=4), params=params,
+                max_epochs=1, workdir=wd, checkpoint_interval=1,
+                log_interval=1, tensorboard=False, val_loader=vdl)
+    rows = [json.loads(l) for l in open(os.path.join(wd, "metrics.jsonl"))]
+    prefixes = {r["prefix"] for r in rows}
+    assert "val" in prefixes and "train" in prefixes
+    val_rows = [r for r in rows if r["prefix"] == "val"]
+    assert np.isfinite(val_rows[0]["recon_loss"])
+
+
+def test_build_optimizers_per_submodule():
+    """Per-submodule optimizer cfgs (reference optimizer/builder.py:8-52):
+    mapped modules get their own LR; unmapped subtrees are frozen."""
+    import optax
+
+    from raggesture_tpu.train.loop import build_optimizers
+
+    params = {"params": {"denoiser": {"w": jnp.ones((3,))},
+                         "codec": {"w": jnp.ones((3,))},
+                         "other": {"w": jnp.ones((3,))}}}
+    tx = build_optimizers({"denoiser": OptimConfig(lr=1e-2, total_steps=10),
+                           "codec": OptimConfig(lr=1e-4, total_steps=10)},
+                          params)
+    state = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, state, params)
+    up = updates["params"]
+    # denoiser lr >> codec lr; 'other' frozen
+    assert abs(float(up["denoiser"]["w"][0])) > abs(float(up["codec"]["w"][0]))
+    assert float(jnp.abs(up["other"]["w"]).max()) == 0.0

@@ -154,6 +154,22 @@ def main():
             if hook.get("type") == "DatabaseSaveHook":
                 retrieval_save_dir = hook.get("save_dir")
 
+    # validation loader (reference registers a val split; workflow runs it
+    # when present — here: a few val batches per epoch unless --no-validate)
+    val_loader = None
+    if not args.no_validate:
+        try:
+            val_ds = build_dataset(beatx_config_from(cfg.data.val), extractor)
+            if len(val_ds) > 0:
+                val_loader = build_dataloader(
+                    val_ds, batch_per_device, n_local, shuffle=False,
+                    num_shards=jax.process_count(),
+                    shard=jax.process_index(), seed=args.seed,
+                    drop_last=True)
+                logger.info("val dataset: %d windows", len(val_ds))
+        except Exception as e:
+            logger.warning("no validation data (%s)", e)
+
     ckpt_cfg = cfg.get("checkpoint_config", {}) or {}
     log_cfg = cfg.get("log_config", {}) or {}
     state = train_model(
@@ -169,6 +185,7 @@ def main():
         seed=args.seed,
         retrieval_db=retrieval_db,
         retrieval_save_dir=retrieval_save_dir,
+        val_loader=val_loader,
     )
     logger.info("training done at step %d", int(state.step))
 
