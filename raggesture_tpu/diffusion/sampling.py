@@ -60,6 +60,22 @@ def _apply_pre_seq(sched, x, pre_seq, t, rng):
     return x.at[:, :L, :].set(noised)
 
 
+def _apply_transl_req(sched, x, transl_req, t, rng):
+    """Root-translation pinning (reference p_sample transl_req hook,
+    gaussian_diffusion.py:779-784): for each (feature_idx, v0, v1) row, the
+    first two sequence positions of that feature are overwritten with
+    q_sample of the pinned values at every step.  Legacy ReMoDiffuse
+    inpainting surface, kept for API parity."""
+    for k in range(transl_req.shape[0]):
+        idx = transl_req[k, 0].astype(jnp.int32)
+        vals = transl_req[k, 1:3]
+        noise = jax.random.normal(jax.random.fold_in(rng, k), (2,), x.dtype)
+        abar = sched.alphas_cumprod[t[0]]
+        x_t = vals * jnp.sqrt(abar) + noise * jnp.sqrt(1.0 - abar)
+        x = x.at[:, 0:2, idx].set(x_t[None, :])
+    return x
+
+
 def _model_call(model_fn, sched, x, t, step_idx):
     t_orig = sched.timestep_map[t]
     return model_fn(x, t_orig, step_idx)
@@ -119,17 +135,23 @@ def ddim_reverse_step(model_fn, sched, x, t, step_idx, *, mean_type, var_type,
 
 def ddpm_sample_loop(model_fn: ModelFn, sched: DiffusionSchedule, noise, rng, *,
                      mean_type=MeanType.START_X, var_type=VarType.FIXED_LARGE,
-                     cfg_scale=0.0, clip_denoised=False, pre_seq=None):
-    """Full DDPM chain T-1..0 as one scan (reference p_sample_loop :805-908)."""
+                     cfg_scale=0.0, clip_denoised=False, pre_seq=None,
+                     transl_req=None):
+    """Full DDPM chain T-1..0 as one scan (reference p_sample_loop :805-908).
+
+    ``transl_req``: optional (K, 3) rows of (feature_idx, v0, v1) pinning
+    root translation at the first two positions per step (:779-784)."""
     B = noise.shape[0]
     steps = jnp.arange(sched.num_timesteps - 1, -1, -1)
 
     def body(carry, i):
         x, r = carry
-        r, r_noise, r_pre = jax.random.split(r, 3)
+        r, r_noise, r_pre, r_tr = jax.random.split(r, 4)
         t = jnp.full((B,), i, dtype=jnp.int32)
         if pre_seq is not None:
             x = _apply_pre_seq(sched, x, pre_seq, t, r_pre)
+        if transl_req is not None:
+            x = _apply_transl_req(sched, x, jnp.asarray(transl_req), t, r_tr)
         x, _ = ddpm_step(model_fn, sched, x, t, i, r_noise,
                          mean_type=mean_type, var_type=var_type,
                          cfg_scale=cfg_scale, clip_denoised=clip_denoised)

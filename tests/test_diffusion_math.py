@@ -117,3 +117,34 @@ def test_cfg_mixing_start_x():
         np.asarray(out.pred_xstart[:2]), np.asarray(out_cond.pred_xstart),
         rtol=1e-3, atol=1e-4,
     )
+
+
+def test_ddpm_transl_req_pins_values():
+    """transl_req hook (reference p_sample :779-784): the pinned feature's
+    first two positions track the requested values through sampling."""
+    import jax
+
+    from raggesture_tpu.diffusion import sampling as S
+    from raggesture_tpu.diffusion.gaussian import MeanType, VarType
+    from raggesture_tpu.diffusion.schedules import make_schedule
+
+    sched = make_schedule("scaled_linear", 50, "2,2,2,2,2", 10)
+    noise = jax.random.normal(jax.random.PRNGKey(0), (1, 6, 4))
+
+    def model_fn(x, t_orig, step_idx):
+        # identity x0-predictor: the final p-step's mean passes the pinned
+        # x_t through (a zero-predictor would overwrite the pin at t=0,
+        # just as it would in the reference)
+        return x
+
+    transl_req = jnp.asarray([[2, 5.0, -5.0]])  # pin feature 2 to (5, -5)
+    out = S.ddpm_sample_loop(model_fn, sched, noise, jax.random.PRNGKey(1),
+                             mean_type=MeanType.START_X,
+                             var_type=VarType.FIXED_LARGE,
+                             transl_req=transl_req)
+    # at the final step t=0, q_sample(vals, 0) ~ vals (alpha_bar_0 ~ 1):
+    # position 0/1 of feature 2 end near the pinned values, far from 0
+    pinned = np.asarray(out[0, 0:2, 2])
+    assert abs(pinned[0] - 5.0) < 1.0 and abs(pinned[1] + 5.0) < 1.0
+    # other features are not pinned
+    assert abs(float(out[0, 0, 1])) < 3.0

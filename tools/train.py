@@ -37,6 +37,10 @@ def parse_args():
     p.add_argument("--no-validate", action="store_true")
     p.add_argument("--device-batch-size", type=int, default=None,
                    help="override data.samples_per_device")
+    p.add_argument("--profile", action="store_true",
+                   help="capture a jax.profiler device trace of the first "
+                        "training steps into <work-dir>/profile (view with "
+                        "TensorBoard's profile plugin or Perfetto)")
     p.add_argument("--debug-nans", action="store_true",
                    help="enable jax.debug_nans (the reference forces torch "
                         "detect_anomaly; here it is opt-in — it costs real "
@@ -172,21 +176,31 @@ def main():
 
     ckpt_cfg = cfg.get("checkpoint_config", {}) or {}
     log_cfg = cfg.get("log_config", {}) or {}
-    state = train_model(
-        model, loader, optim_cfg,
-        params=params,
-        max_epochs=max_epochs,
-        workdir=workdir,
-        checkpoint_interval=ckpt_cfg.get("interval", 2),
-        checkpoint_max_to_keep=ckpt_cfg.get("max_to_keep", 5),
-        log_interval=log_cfg.get("interval", 10),
-        tensorboard=log_cfg.get("tensorboard", True),
-        resume=args.resume_from is not None,
-        seed=args.seed,
-        retrieval_db=retrieval_db,
-        retrieval_save_dir=retrieval_save_dir,
-        val_loader=val_loader,
-    )
+    import contextlib
+
+    profile_ctx = contextlib.nullcontext()
+    if args.profile:
+        from raggesture_tpu.utils.profiling import trace
+
+        profile_ctx = trace(os.path.join(workdir, "profile"))
+        logger.info("profiling into %s", os.path.join(workdir, "profile"))
+
+    with profile_ctx:
+        state = train_model(
+            model, loader, optim_cfg,
+            params=params,
+            max_epochs=max_epochs,
+            workdir=workdir,
+            checkpoint_interval=ckpt_cfg.get("interval", 2),
+            checkpoint_max_to_keep=ckpt_cfg.get("max_to_keep", 5),
+            log_interval=log_cfg.get("interval", 10),
+            tensorboard=log_cfg.get("tensorboard", True),
+            resume=args.resume_from is not None,
+            seed=args.seed,
+            retrieval_db=retrieval_db,
+            retrieval_save_dir=retrieval_save_dir,
+            val_loader=val_loader,
+        )
     logger.info("training done at step %d", int(state.step))
 
 
