@@ -113,6 +113,10 @@ def ddim_step(model_fn, sched, x, t, step_idx, rng, *, mean_type, var_type,
     mean_pred = out.pred_xstart * jnp.sqrt(abar_prev) + jnp.sqrt(
         1 - abar_prev - sigma**2
     ) * out.eps
+    if isinstance(eta, float) and eta == 0.0:
+        # deterministic DDIM (the shipped config): skip the per-step RNG —
+        # sigma is identically 0, so the noise term vanishes statically
+        return mean_pred, out
     noise = jax.random.normal(rng, x.shape, x.dtype)
     nonzero = (t != 0).astype(x.dtype).reshape((-1,) + (1,) * (nd - 1))
     sample = mean_pred + nonzero * sigma * noise

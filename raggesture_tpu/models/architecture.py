@@ -297,17 +297,27 @@ def guidance_iters_schedule(name_or_list, num_steps: int = 50) -> jnp.ndarray:
     Indexed by spaced step i (0 = cleanest).  ``decreasing_till_25`` =
     [0]*25 + [0,1,...,24]: no guidance in the clean half, ramping iterations
     toward the noisy half."""
+    h = num_steps // 2
     if isinstance(name_or_list, (list, tuple)):
         arr = list(name_or_list)
-    elif name_or_list == "decreasing_till_25":
-        arr = [0] * (num_steps // 2) + list(range(num_steps - num_steps // 2))
-    elif name_or_list == "increasing_from_25":
-        h = num_steps // 2
-        arr = list(range(h - 1, -1, -1)) + [0] * (num_steps - h)
-    elif name_or_list == "constant":
-        arr = [10] * num_steps
-    elif name_or_list == "none":
+    elif name_or_list == "all_one":
+        arr = [1] * num_steps
+    elif name_or_list in ("all_zero", "none"):
         arr = [0] * num_steps
+    elif name_or_list in ("all_10", "constant"):
+        arr = [10] * num_steps
+    elif name_or_list == "decreasing":
+        arr = list(range(num_steps))
+    elif name_or_list == "increasing":
+        arr = list(range(num_steps - 1, -1, -1))
+    elif name_or_list == "drop_decreasing_till_25":
+        arr = [0] * h + list(range(num_steps))[h:]
+    elif name_or_list == "step_increasing_from_25":
+        arr = list(range(num_steps - 1, -1, -1))[:h] + [0] * (num_steps - h)
+    elif name_or_list == "decreasing_till_25":
+        arr = [0] * h + list(range(num_steps - h))
+    elif name_or_list == "increasing_from_25":
+        arr = list(range(h - 1, -1, -1)) + [0] * (num_steps - h)
     else:
         raise ValueError(f"unknown guidance schedule {name_or_list}")
     assert len(arr) == num_steps

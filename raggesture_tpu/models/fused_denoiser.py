@@ -275,7 +275,7 @@ def cross_attention_cached_xla(p, x, ctx, scale, shift, query_mask,
     return x + _stylize(y, p["proj_out"], scale, shift)
 
 
-@partial(jax.jit, static_argnames=("cfg", "use_pallas"))
+@partial(jax.jit, static_argnames=("cfg", "use_pallas", "merged_ca"))
 def fused_denoise_ctx(
     params: Dict,
     cfg: DenoiserConfig,
@@ -285,6 +285,7 @@ def fused_denoise_ctx(
     ctx_cache: Dict,
     query_masks: Dict[str, jnp.ndarray],
     use_pallas: bool = True,
+    merged_ca: bool = False,
 ) -> jnp.ndarray:
     """fused_denoise with cached cross-attention contexts (inference path:
     the conditions never change within a sampling run)."""
@@ -310,32 +311,54 @@ def fused_denoise_ctx(
 
     from ..ops.pallas.linear_attention_kernel import (
         fused_cross_attention_cached,
+        fused_cross_block_cached,
     )
+
+    if use_pallas:
+        qm3 = jnp.stack(
+            [jnp.ones((B, T)) if query_masks is None
+             else query_masks[key].reshape(B, T) for key in COND_KEYS],
+            axis=-1)
 
     for i in range(c.num_layers):
         blk = p[f"block_{i}"]
         s, sh = adaln[(i, "sa")]
-        if use_pallas:
+        if use_pallas and merged_ca:
             h = fused_self_attention(h, src_mask, s, sh, blk["sa_block"],
                                      num_heads=c.num_heads)
+            ctx3 = jnp.stack([ctx_cache[(i, key)] for key in COND_KEYS],
+                             axis=1)
+            scale3 = jnp.stack([adaln[(i, key)][0] for key in COND_KEYS],
+                               axis=1)
+            shift3 = jnp.stack([adaln[(i, key)][1] for key in COND_KEYS],
+                               axis=1)
+            h = fused_cross_block_cached(
+                h, ctx3, qm3, scale3, shift3,
+                tuple(blk[f"ca_{key}"] for key in COND_KEYS),
+                blk["ca_mix"], num_heads=c.num_heads)
+        elif use_pallas:
+            h = fused_self_attention(h, src_mask, s, sh, blk["sa_block"],
+                                     num_heads=c.num_heads)
+            outs = []
+            for key in COND_KEYS:
+                s, sh = adaln[(i, key)]
+                h_ca = fused_cross_attention_cached(
+                    h, ctx_cache[(i, key)], qm3[..., COND_KEYS.index(key),
+                                                 None],
+                    s, sh, blk[f"ca_{key}"], num_heads=c.num_heads)
+                outs.append(h_ca)
+            h = _dense(jnp.concatenate(outs, axis=-1), blk["ca_mix"])
         else:
             h = self_attention_xla(blk["sa_block"], h, src_mask, s, sh,
                                    c.num_heads)
-        outs = []
-        for key in COND_KEYS:
-            s, sh = adaln[(i, key)]
-            qm = query_masks[key] if query_masks is not None else None
-            qm_col = (jnp.ones((B, T, 1)) if qm is None
-                      else qm.reshape(B, T, 1))
-            ctx = ctx_cache[(i, key)]
-            if use_pallas:
-                outs.append(fused_cross_attention_cached(
-                    h, ctx, qm_col, s, sh, blk[f"ca_{key}"],
-                    num_heads=c.num_heads))
-            else:
+            outs = []
+            for key in COND_KEYS:
+                s, sh = adaln[(i, key)]
+                qm = query_masks[key] if query_masks is not None else None
                 outs.append(cross_attention_cached_xla(
-                    blk[f"ca_{key}"], h, ctx, s, sh, qm, c.num_heads))
-        h = _dense(jnp.concatenate(outs, axis=-1), blk["ca_mix"])
+                    blk[f"ca_{key}"], h, ctx_cache[(i, key)], s, sh, qm,
+                    c.num_heads))
+            h = _dense(jnp.concatenate(outs, axis=-1), blk["ca_mix"])
         s, sh = adaln[(i, "ffn")]
         h = ffn(blk["ffn"], h, s, sh)
 

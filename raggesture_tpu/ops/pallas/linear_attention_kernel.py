@@ -387,3 +387,112 @@ def fused_cross_attention_cached(
         row(st["out_proj"]["bias"]),
     )
     return out[:, :T, :]
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
+def fused_cross_block_cached(
+    x: jnp.ndarray,           # (B, T, D)
+    ctx3: jnp.ndarray,        # (B, 3, D, D) cached contexts (text/audio/spk)
+    query_mask3: jnp.ndarray, # (B, T, 3)
+    scale3: jnp.ndarray,      # (B, 3, D) adaLN scales (one per cond block)
+    shift3: jnp.ndarray,      # (B, 3, D)
+    ca_params: tuple,         # 3 EfficientCrossAttention param subtrees
+    mix_params: dict,         # ca_mix Linear (3D -> D)
+    num_heads: int = 16,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """One kernel for a DecoderLayer's THREE cached-context cross-attentions
+    plus the ca_mix projection (diffusion_transformer.py:105-121).
+
+    The concat-then-mix ``[o_text; o_audio; o_spk] @ W_mix`` is computed as
+    ``b_mix + Σ_i o_i @ W_mix[i·D:(i+1)·D]`` so the 3·D-wide concat never
+    materializes.  Cuts the per-layer kernel count from 4 to 2 (sa + this),
+    keeping every intermediate in VMEM.
+    """
+    B, T, D = x.shape
+    Tp = max(_round_up(T, 8), 8)
+    if Tp != T:
+        x = jnp.pad(x, ((0, 0), (0, Tp - T), (0, 0)))
+        query_mask3 = jnp.pad(query_mask3, ((0, 0), (0, Tp - T), (0, 0)))
+
+    row = lambda a: jnp.asarray(a, jnp.float32).reshape(1, -1)
+    flat_inputs = []
+    for p in ca_params:
+        flat_inputs += [
+            row(p["norm"]["scale"]), row(p["norm"]["bias"]),
+            jnp.asarray(p["query"]["kernel"], jnp.float32),
+            row(p["query"]["bias"]),
+            row(p["proj_out"]["norm"]["scale"]),
+            row(p["proj_out"]["norm"]["bias"]),
+            jnp.asarray(p["proj_out"]["out_proj"]["kernel"], jnp.float32),
+            row(p["proj_out"]["out_proj"]["bias"]),
+        ]
+    wmix = jnp.asarray(mix_params["kernel"], jnp.float32)  # (3D, D)
+    flat_inputs += [wmix[0 * D:1 * D], wmix[1 * D:2 * D], wmix[2 * D:3 * D],
+                    row(mix_params["bias"])]
+
+    def kernel(x_ref, ctx_ref, qm_ref, scale_ref, shift_ref, *refs):
+        out_ref = refs[-1]
+        prm = refs[:-1]
+        xb = x_ref[0]
+        Dh = D // num_heads
+        seg = _head_block_mask(D, Dh)
+        mu = jnp.mean(xb, axis=-1, keepdims=True)
+        var = jnp.mean((xb - mu) ** 2, axis=-1, keepdims=True)
+        xc = (xb - mu) * jax.lax.rsqrt(var + 1e-5)  # shared centered-norm
+
+        acc = jnp.zeros((Tp, D), jnp.float32)
+        for i in range(3):
+            (ln_s, ln_b, wq, bq, sn_s, sn_b, wo, bo) = prm[8 * i: 8 * i + 8]
+            xn = xc * ln_s[:] + ln_b[:]
+            q = jnp.dot(xn, wq[:], preferred_element_type=jnp.float32) + bq[:]
+            qe = jnp.exp(q - jnp.max(q, axis=-1, keepdims=True))
+            q_sm = qe / jnp.dot(qe, seg, preferred_element_type=jnp.float32)
+            y = jnp.dot(q_sm, ctx_ref[0, i],
+                        preferred_element_type=jnp.float32)
+            y = y + (1.0 - qm_ref[0, :, i:i + 1]) * NEG_MASK
+            ymu = jnp.mean(y, axis=-1, keepdims=True)
+            yvar = jnp.mean((y - ymu) ** 2, axis=-1, keepdims=True)
+            h = (y - ymu) * jax.lax.rsqrt(yvar + 1e-5) * sn_s[:] + sn_b[:]
+            h = h * (1.0 + scale_ref[0, i][None, :]) + shift_ref[0, i][None, :]
+            h = h * jax.nn.sigmoid(h)
+            o_i = xb + jnp.dot(h, wo[:],
+                               preferred_element_type=jnp.float32) + bo[:]
+            wmix_i = prm[24 + i]
+            acc = acc + jnp.dot(o_i, wmix_i[:],
+                                preferred_element_type=jnp.float32)
+        out_ref[0] = acc + prm[27][:]
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, Tp, D), jnp.float32),
+        grid_spec=pl.GridSpec(
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((1, Tp, D), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 3, D, D), lambda b: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Tp, 3), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 3, D), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 3, D), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(flat_inputs),
+            out_specs=pl.BlockSpec((1, Tp, D), lambda b: (b, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=B * 3 * 2 * (4 * Tp * D * D),
+            bytes_accessed=B * (2 * Tp * D + 3 * D * D) * 4 + 10 * D * D * 4,
+            transcendentals=B * 3 * Tp * D * 2,
+        ),
+    )(
+        x.astype(jnp.float32), ctx3.astype(jnp.float32),
+        query_mask3.astype(jnp.float32),
+        scale3.astype(jnp.float32), shift3.astype(jnp.float32),
+        *flat_inputs,
+    )
+    return out[:, :T, :]

@@ -100,8 +100,10 @@ def train_model(
         else:
             logger.info("resume requested but no checkpoint found; "
                         "starting fresh")
-        if retrieval_db is not None and retrieval_save_dir:
-            retrieval_db.load_memo(retrieval_save_dir)
+    if retrieval_db is not None and retrieval_save_dir:
+        # reference DatabaseSaveHook loads memoization before the run
+        # unconditionally (model_freeze_hooks.py:60-100)
+        retrieval_db.load_memo(retrieval_save_dir)
 
     from ..diffusion.schedules import DiffusionSchedule  # noqa: F401
 

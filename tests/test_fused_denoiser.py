@@ -186,3 +186,48 @@ def test_staged_generator_fused_matches_plain_on_cpu():
     np.testing.assert_allclose(np.asarray(out_f["output_latents"]),
                                np.asarray(out_p["output_latents"]),
                                atol=5e-4)
+
+
+def test_merged_cross_block_kernel_matches_xla():
+    """fused_cross_block_cached (interpret mode) == the 3 separate
+    cached-context cross attentions + ca_mix (the XLA twins)."""
+    from raggesture_tpu.models.denoiser import COND_KEYS
+    from raggesture_tpu.models.fused_denoiser import (
+        _dense,
+        cross_attention_cached_xla,
+        precompute_cross_contexts,
+        stacked_adaln,
+    )
+    from raggesture_tpu.ops.pallas.linear_attention_kernel import (
+        fused_cross_block_cached,
+    )
+
+    cfg, den, params, (x, t, mask, word, audio, spk) = _setup()
+    B, T = x.shape[:2]
+    conds = den.apply(params, word, audio, spk, method=den.encode_conditions)
+    qm = default_query_masks(cfg, B)
+    cm = jnp.ones((B, 1, 1))
+    p = params["params"]
+    ctx = precompute_cross_contexts(p, cfg, conds, cm)
+    emb = jnp.asarray(np.random.RandomState(8).randn(
+        B, cfg.time_embed_dim), jnp.float32)
+    adaln = stacked_adaln(p, emb, cfg.num_layers)
+    blk = p["block_0"]
+
+    # XLA reference: 3 separate cached cross attentions + mix
+    outs = [cross_attention_cached_xla(
+        blk[f"ca_{k}"], x, ctx[(0, k)], adaln[(0, k)][0], adaln[(0, k)][1],
+        qm[k], cfg.num_heads) for k in COND_KEYS]
+    ref = _dense(jnp.concatenate(outs, axis=-1), blk["ca_mix"])
+
+    out = fused_cross_block_cached(
+        x,
+        jnp.stack([ctx[(0, k)] for k in COND_KEYS], axis=1),
+        jnp.stack([qm[k].reshape(B, T) for k in COND_KEYS], axis=-1),
+        jnp.stack([adaln[(0, k)][0] for k in COND_KEYS], axis=1),
+        jnp.stack([adaln[(0, k)][1] for k in COND_KEYS], axis=1),
+        tuple(blk[f"ca_{k}"] for k in COND_KEYS),
+        blk["ca_mix"], num_heads=cfg.num_heads, interpret=True)
+    valid = np.asarray(qm["xf_text"]) > 0
+    np.testing.assert_allclose(np.asarray(out)[valid], np.asarray(ref)[valid],
+                               atol=5e-5)

@@ -159,3 +159,29 @@ def test_generate_inversion_guidance(setup):
     assert out["pred_upper"].shape == (2, 30, 39)
     for v in out.values():
         assert np.isfinite(np.asarray(v)).all()
+
+
+def test_guidance_iters_full_name_set():
+    """All the reference's schedule names (tools/visualize.py:74-95)."""
+    import numpy as np
+
+    from raggesture_tpu.models.architecture import guidance_iters_schedule
+
+    for name, head, tail in [
+        ("all_one", 1, 1), ("all_zero", 0, 0), ("all_10", 10, 10),
+        ("decreasing", 0, 49), ("increasing", 49, 0),
+        ("drop_decreasing_till_25", 0, 49),
+        ("step_increasing_from_25", 49, 0),
+        ("decreasing_till_25", 0, 24), ("increasing_from_25", 24, 0),
+        ("constant", 10, 10), ("none", 0, 0),
+    ]:
+        arr = np.asarray(guidance_iters_schedule(name, 50))
+        assert arr.shape == (50,)
+        assert arr[0] == head and arr[-1] == tail, (name, arr[0], arr[-1])
+    # reference exact: decreasing_till_25 = [0]*25 + range(25)
+    arr = np.asarray(guidance_iters_schedule("decreasing_till_25", 50))
+    assert arr[:25].sum() == 0 and list(arr[25:]) == list(range(25))
+    import pytest
+
+    with pytest.raises(ValueError):
+        guidance_iters_schedule("nope", 50)
