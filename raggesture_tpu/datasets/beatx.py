@@ -422,7 +422,15 @@ _META_FIELDS = ("raw_word", "text_segments", "discourse", "prominence",
 
 
 class ShardCache:
-    """Directory of per-window .npz + meta.json with a name index."""
+    """Directory of per-window .npz + meta.json with a name index.
+
+    Windows are grouped into subdirectories of 1000 (BEAT2 produces ~200k
+    train windows — a flat directory of 400k files is pathological on most
+    filesystems; the reference used LMDB for the same reason,
+    beatx_dataset.py:951-988).  Pre-subdirectory flat caches remain
+    readable."""
+
+    GROUP = 1000
 
     def __init__(self, path: str):
         self.path = path
@@ -436,23 +444,33 @@ class ShardCache:
     def __len__(self):
         return len(self.name_to_idx)
 
+    def _base(self, idx: int, write: bool = False) -> str:
+        grouped = os.path.join(self.path, f"g{idx // self.GROUP:04d}",
+                               f"{idx:06d}")
+        if write:
+            os.makedirs(os.path.dirname(grouped), exist_ok=True)
+            return grouped
+        if os.path.exists(grouped + ".npz"):
+            return grouped
+        return os.path.join(self.path, f"{idx:06d}")  # legacy flat layout
+
     def write(self, records: List[Dict]):
         for rec in records:
             idx = len(self.name_to_idx)
+            base = self._base(idx, write=True)
             arrays = {k: np.asarray(rec[k]) for k in _ARRAY_FIELDS if k in rec}
-            np.savez_compressed(os.path.join(self.path, f"{idx:06d}.npz"),
-                                **arrays)
+            np.savez_compressed(base + ".npz", **arrays)
             meta = {k: rec[k] for k in _META_FIELDS if k in rec}
-            with open(os.path.join(self.path, f"{idx:06d}.json"), "w") as f:
+            with open(base + ".json", "w") as f:
                 json.dump(meta, f)
             self.name_to_idx[rec["sample_name"]] = idx
         with open(self._index_path, "w") as f:
             json.dump(self.name_to_idx, f)
 
     def read(self, idx: int) -> Dict:
-        arrays = dict(np.load(os.path.join(self.path, f"{idx:06d}.npz"),
-                              allow_pickle=False))
-        with open(os.path.join(self.path, f"{idx:06d}.json")) as f:
+        base = self._base(idx)
+        arrays = dict(np.load(base + ".npz", allow_pickle=False))
+        with open(base + ".json") as f:
             meta = json.load(f)
         # json round-trips tuples as lists — restore tuple-typed fields
         meta["discourse"] = [tuple(d) for d in meta.get("discourse", [])]

@@ -118,3 +118,58 @@ def build_dataloader(dataset, samples_per_device: int, num_devices: int,
                            round_up=round_up, seed=seed)
     return DataLoader(dataset, samples_per_device * num_devices,
                       sampler=sampler, drop_last=drop_last)
+
+
+class PrefetchLoader:
+    """Background-thread batch prefetcher (capability match for the
+    reference's ``workers_per_gpu=8`` multiprocess dataloading,
+    mogen/datasets/builder.py:95-168).
+
+    Record reads (npz + json per window) and collation run in a thread pool
+    while the accelerator computes the current step; ``depth`` batches are
+    kept in flight.  Threads (not processes) suffice: the work is
+    numpy/file IO which releases the GIL."""
+
+    def __init__(self, loader: DataLoader, num_workers: int = 4,
+                 depth: int = 2):
+        self.loader = loader
+        self.num_workers = max(1, num_workers)
+        self.depth = max(1, depth)
+
+    def set_epoch(self, epoch: int):
+        self.loader.set_epoch(epoch)
+
+    def __len__(self):
+        return len(self.loader)
+
+    def __iter__(self):
+        import concurrent.futures as cf
+        from collections import deque
+
+        sampler = self.loader.sampler
+        bs = self.loader.batch_size
+        idx_stream = list(sampler)
+        chunks = [idx_stream[i:i + bs] for i in range(0, len(idx_stream), bs)]
+        if self.loader.drop_last:
+            chunks = [c for c in chunks if len(c) == bs]
+
+        def make(chunk):
+            pad = chunk + [chunk[-1]] * (bs - len(chunk))
+            batch = self.loader._make_batch(pad)
+            if len(chunk) < bs:
+                batch["valid_mask"] = np.arange(bs) < len(chunk)
+            return batch
+
+        with cf.ThreadPoolExecutor(self.num_workers) as pool:
+            inflight = deque()
+            it = iter(chunks)
+            for _ in range(self.depth):
+                c = next(it, None)
+                if c is not None:
+                    inflight.append(pool.submit(make, c))
+            while inflight:
+                fut = inflight.popleft()
+                c = next(it, None)
+                if c is not None:
+                    inflight.append(pool.submit(make, c))
+                yield fut.result()

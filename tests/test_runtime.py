@@ -311,3 +311,25 @@ def test_build_optimizers_per_submodule():
     # denoiser lr >> codec lr; 'other' frozen
     assert abs(float(up["denoiser"]["w"][0])) > abs(float(up["codec"]["w"][0]))
     assert float(jnp.abs(up["other"]["w"]).max()) == 0.0
+
+
+def test_prefetch_loader_matches_sync():
+    from raggesture_tpu.datasets.sampler import PrefetchLoader
+
+    ds = _ListDataset(_records(10))
+    dl = DataLoader(ds, batch_size=3, shuffle=True, drop_last=False, seed=5)
+    sync_batches = list(dl)
+    pf = PrefetchLoader(DataLoader(ds, batch_size=3, shuffle=True,
+                                   drop_last=False, seed=5), num_workers=3)
+    pf_batches = list(pf)
+    assert len(pf_batches) == len(sync_batches) == len(dl)
+    for a, b in zip(sync_batches, pf_batches):
+        assert a["sample_name"] == b["sample_name"]
+        np.testing.assert_allclose(a["motion_upper"], b["motion_upper"])
+        assert a["valid_mask"].tolist() == b["valid_mask"].tolist()
+    # epoch reseeding changes order identically in both
+    dl.set_epoch(1)
+    pf.set_epoch(1)
+    a1 = next(iter(dl))
+    b1 = next(iter(pf))
+    assert a1["sample_name"] == b1["sample_name"]

@@ -119,6 +119,12 @@ def main():
         num_shards=jax.process_count(), shard=jax.process_index(),
         seed=args.seed,
     )
+    workers = cfg.data.get("workers_per_device",
+                           cfg.data.get("workers_per_gpu", 0))
+    if workers:
+        from raggesture_tpu.datasets.sampler import PrefetchLoader
+
+        loader = PrefetchLoader(loader, num_workers=workers)
 
     max_epochs = cfg.runner.get("max_epochs", 500)
     total_steps = max(len(loader) * max_epochs, 1)
