@@ -150,6 +150,9 @@ def beatx_config_from(dcfg: Mapping[str, Any]) -> BeatXConfig:
         stride=_get(dcfg, "stride", 5),
         audio_sr=_get(dcfg, "audio_sr", _get(dcfg, "sample_rate", 16000)),
         test_cache_mode=_get(dcfg, "test_cache_mode", "windowed"),
+        audio_rep=_get(dcfg, "audio_rep", "wav2vec"),
+        num_mels=_get(dcfg, "num_mels", 80),
+        hop_length=_get(dcfg, "hop_length", 512),
         training_speakers=tuple(_get(dcfg, "training_speakers",
                                      tuple(range(1, 31)))),
         clean_first_seconds=_get(dcfg, "clean_first_seconds", 0),

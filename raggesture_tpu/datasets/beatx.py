@@ -201,6 +201,61 @@ class FlaxHFFeatureExtractor(FeatureExtractor):
         return vecs, states
 
 
+class MelFeatureExtractor(FeatureExtractor):
+    """librosa-free melspectrogram / onset+amplitude audio features
+    (reference audio_rep="melspec" and "onset+amplitude" branches,
+    beatx_dataset.py:476-496), reusing the numpy mel/onset machinery from
+    raggesture_tpu.eval.metrics.  Word embeddings delegate to another
+    extractor (default: the deterministic stub)."""
+
+    def __init__(self, rep: str = "melspec", num_mels: int = 80,
+                 hop_length: int = 512, text_extractor: Optional[
+                     "FeatureExtractor"] = None):
+        assert rep in ("melspec", "onset+amplitude")
+        self.rep = rep
+        self.num_mels = num_mels
+        self.hop_length = hop_length
+        self.audio_dim = num_mels if rep == "melspec" else 2
+        self._text = text_extractor or StubFeatureExtractor()
+        self.text_dim = self._text.text_dim
+
+    def audio_features(self, wave, sr):
+        from ..eval.metrics import _mel_filterbank, detect_onsets
+
+        wave = np.asarray(wave, np.float32)
+        if self.rep == "melspec":
+            n_fft = 2048
+            hop = self.hop_length
+            pad = n_fft // 2
+            y = np.pad(wave, (pad, pad), mode="reflect")
+            n_frames = 1 + (len(y) - n_fft) // hop
+            window = np.hanning(n_fft)
+            frames = np.lib.stride_tricks.as_strided(
+                y, shape=(n_frames, n_fft),
+                strides=(y.strides[0] * hop, y.strides[0])).copy()
+            spec = np.abs(np.fft.rfft(frames * window, axis=1)) ** 2
+            mel = _mel_filterbank(sr, n_fft, self.num_mels)
+            return (spec @ mel.T).astype(np.float32)  # (frames, n_mels)
+        # onset + amplitude at the raw sample rate (:477-490)
+        frame_length = 1024
+        shape = (wave.shape[-1] - frame_length + 1, frame_length)
+        strides = (wave.strides[-1], wave.strides[-1])
+        rolling = np.lib.stride_tricks.as_strided(wave, shape=shape,
+                                                  strides=strides)
+        env = np.max(np.abs(rolling), axis=1)
+        env = np.pad(env, (0, frame_length - 1), mode="constant",
+                     constant_values=env[-1] if len(env) else 0.0)
+        onset_times = detect_onsets(wave, sr, hop_length=512)  # seconds
+        onset = np.zeros(len(wave), np.float32)
+        if len(onset_times):
+            onset[np.clip((onset_times * sr).astype(int), 0,
+                          len(wave) - 1)] = 1.0
+        return np.stack([env, onset], axis=1).astype(np.float32)
+
+    def word_embeddings(self, sentence):
+        return self._text.word_embeddings(sentence)
+
+
 class StubFeatureExtractor(FeatureExtractor):
     """Deterministic hash-seeded features (hermetic tests / no egress):
     audio at the wav2vec2 frame rate (sr/320), text as per-word vectors."""
@@ -244,6 +299,9 @@ class BeatXConfig:
     stride: int = 5
     audio_sr: int = 16000
     test_cache_mode: str = "windowed"  # windowed | full
+    audio_rep: str = "wav2vec"       # wav2vec | melspec | onset+amplitude
+    num_mels: int = 80
+    hop_length: int = 512
     training_speakers: Sequence[int] = tuple(DEFAULT_TRAIN_SPEAKERS)
     clean_first_seconds: int = 0
     clean_final_seconds: int = 0

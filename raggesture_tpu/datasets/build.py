@@ -196,7 +196,21 @@ def build_cache(cfg: BeatXConfig, extractor: Optional[FeatureExtractor] = None,
         shutil.rmtree(cache.path)
         cache = ShardCache(cache_dir_for(cfg))
 
-    extractor = extractor or StubFeatureExtractor()
+    if extractor is None:
+        if cfg.audio_rep in ("melspec", "onset+amplitude"):
+            from .beatx import MelFeatureExtractor
+
+            extractor = MelFeatureExtractor(cfg.audio_rep, cfg.num_mels,
+                                            cfg.hop_length)
+        else:
+            extractor = StubFeatureExtractor()
+    elif cfg.audio_rep in ("melspec", "onset+amplitude"):
+        # keep the configured (HF) text path but swap the audio features
+        from .beatx import MelFeatureExtractor
+
+        extractor = MelFeatureExtractor(cfg.audio_rep, cfg.num_mels,
+                                        cfg.hop_length,
+                                        text_extractor=extractor)
     files = select_files(cfg, additional_data)
     logger.info("building cache %s from %d clips", cache.path, len(files))
     is_test = cfg.split == "test"

@@ -157,3 +157,29 @@ def test_build_cache_test_split_modes(beat2_root, tmp_path):
     ds_full = build_dataset(cfg_full, StubFeatureExtractor())
     # full mode: whole clip (12s @ 15fps = 180 frames)
     assert ds_full[0]["motion"].shape[0] == 180
+
+
+def test_melspec_and_onset_audio_reps(beat2_root, tmp_path):
+    """audio_rep='melspec' / 'onset+amplitude' featurization (reference
+    beatx_dataset.py:476-496), librosa-free."""
+    from raggesture_tpu.datasets.beatx import MelFeatureExtractor
+
+    mel = MelFeatureExtractor("melspec", num_mels=40)
+    wave = np.sin(2 * np.pi * 440 * np.arange(16000) / 16000).astype(
+        np.float32)
+    feats = mel.audio_features(wave, 16000)
+    assert feats.shape[1] == 40 and feats.shape[0] > 20
+    assert np.isfinite(feats).all() and feats.min() >= 0
+    # 440 Hz should concentrate energy in a low-mel band
+    assert feats.mean(0).argmax() < 20
+
+    oa = MelFeatureExtractor("onset+amplitude")
+    feats2 = oa.audio_features(wave, 16000)
+    assert feats2.shape == (16000, 2)
+    assert feats2[:, 0].max() <= 1.0 + 1e-5  # amplitude envelope of a sine
+
+    # end-to-end: cache build with melspec config
+    cfg = _cfg(beat2_root, str(tmp_path), split="train", pose_length=150,
+               stride=75, audio_rep="melspec", num_mels=40)
+    ds = build_dataset(cfg)
+    assert ds[0]["audio"].shape[1] == 40
