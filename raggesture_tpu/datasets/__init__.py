@@ -1,0 +1,1 @@
+"""BEAT2 data pipeline: featurization, window cache, loaders, samplers."""

@@ -1,0 +1,1 @@
+"""Diffusion engine: schedules, Gaussian core, scan-based samplers, VLB."""

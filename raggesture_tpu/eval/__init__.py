@@ -1,0 +1,1 @@
+"""Evaluation: metric implementations and the result-directory evaluator."""

@@ -1,0 +1,1 @@
+"""Model zoo: VAE codec, denoiser, architectures, losses, FGD embedder."""

@@ -1,0 +1,1 @@
+"""Compute ops: rotation math, linear attention (XLA + Pallas kernels)."""

@@ -1,0 +1,1 @@
+"""Retrieval subsystem: corpus caches, scorers, exemplar placement."""

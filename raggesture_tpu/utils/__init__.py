@@ -1,0 +1,1 @@
+"""Host utilities: config/logging/profiling/conversion/visualization."""
