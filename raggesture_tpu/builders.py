@@ -47,6 +47,7 @@ def denoiser_config_from(mcfg: Mapping[str, Any]) -> DenoiserConfig:
     """The inner model dict (type ReGestureTransformer,
     basegesture_len150_beat.py:46-137)."""
     sa = _get(mcfg, "sa_block_cfg", {}) or {}
+    ca = _get(mcfg, "ca_block_cfg", {}) or {}
     ffn = _get(mcfg, "ffn_cfg", {}) or {}
     text = _get(mcfg, "text_encoder", {}) or {}
     audio = _get(mcfg, "audio_encoder", {}) or {}
@@ -56,6 +57,9 @@ def denoiser_config_from(mcfg: Mapping[str, Any]) -> DenoiserConfig:
         time_embed_dim=_get(mcfg, "time_embed_dim", 2048),
         num_layers=_get(mcfg, "num_layers", 8),
         num_heads=_get(sa, "num_heads", 16),
+        ca_num_heads=_get(ca, "num_heads", 0),
+        ca_dropout=float(_get(ca, "dropout", -1.0)
+                         if _get(ca, "dropout") is not None else -1.0),
         ff_size=_get(ffn, "ffn_dim", 1024),
         dropout=float(_get(sa, "dropout", 0.0) or 0.0),
         text_latent_dim=_get(text, "latent_dim", 768),

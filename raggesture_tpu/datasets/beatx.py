@@ -169,8 +169,15 @@ class FlaxHFFeatureExtractor(FeatureExtractor):
         from transformers import FlaxBertModel as _FB
 
         self.bert = _FB.from_pretrained(bert_name)
+        # inputs are padded to fixed buckets so each bucket compiles ONCE:
+        # an unbucketed jit would recompile the full wav2vec2/BERT graph for
+        # every distinct audio/sentence length (minutes per compile on the
+        # remote-compiler TPU rig)
+        self._audio_bucket = 16000   # 1 s of samples
+        self._token_bucket = 32
         self._w2v_call = jax.jit(
-            lambda v: self.wav2vec(input_values=v).last_hidden_state)
+            lambda v, m: self.wav2vec(
+                input_values=v, attention_mask=m).last_hidden_state)
         self._bert_call = jax.jit(
             lambda ids, mask: self.bert(
                 input_ids=ids, attention_mask=mask,
@@ -180,8 +187,16 @@ class FlaxHFFeatureExtractor(FeatureExtractor):
         import jax.numpy as jnp
 
         inputs = self.processor(wave, sampling_rate=sr, return_tensors="np")
-        out = self._w2v_call(jnp.asarray(inputs["input_values"]))
-        return np.asarray(out[0])
+        v = np.asarray(inputs["input_values"])
+        n = v.shape[-1]
+        pad_to = -(-max(n, 1) // self._audio_bucket) * self._audio_bucket
+        vp = np.zeros((1, pad_to), v.dtype)
+        vp[0, :n] = v[0]
+        m = np.zeros((1, pad_to), np.int32)
+        m[0, :n] = 1
+        out = self._w2v_call(jnp.asarray(vp), jnp.asarray(m))
+        n_frames = int(self.wav2vec._get_feat_extract_output_lengths(n))
+        return np.asarray(out[0])[:n_frames]
 
     def word_embeddings(self, sentence):
         import jax.numpy as jnp
@@ -189,9 +204,14 @@ class FlaxHFFeatureExtractor(FeatureExtractor):
         tok = self.tokenizer(sentence, return_tensors="np")
         if tok["input_ids"].shape[1] > self.bert.config.max_position_embeddings:
             return None, None
-        hidden = self._bert_call(jnp.asarray(tok["input_ids"]),
-                                 jnp.asarray(tok["attention_mask"]))
-        states = np.asarray(sum(hidden[-4:]))[0]  # last-4-layer sum
+        n_tok = tok["input_ids"].shape[1]
+        pad_to = -(-n_tok // self._token_bucket) * self._token_bucket
+        ids = np.zeros((1, pad_to), np.int32)
+        ids[0, :n_tok] = tok["input_ids"][0]
+        am = np.zeros((1, pad_to), np.int32)
+        am[0, :n_tok] = tok["attention_mask"][0]
+        hidden = self._bert_call(jnp.asarray(ids), jnp.asarray(am))
+        states = np.asarray(sum(hidden[-4:]))[0][:n_tok]  # last-4 sum
         word_ids = tok.word_ids()
         vecs = []
         for w in range(len(sentence.split())):
@@ -227,7 +247,11 @@ class MelFeatureExtractor(FeatureExtractor):
             n_fft = 2048
             hop = self.hop_length
             pad = n_fft // 2
-            y = np.pad(wave, (pad, pad), mode="reflect")
+            if len(wave) < 2:  # degenerate tail windows
+                return np.zeros((1, self.num_mels), np.float32)
+            y = np.pad(wave, (pad, min(pad, len(wave) - 1)), mode="reflect")
+            if len(y) < n_fft:
+                y = np.pad(y, (0, n_fft - len(y)))
             n_frames = 1 + (len(y) - n_fft) // hop
             window = np.hanning(n_fft)
             frames = np.lib.stride_tricks.as_strided(
@@ -238,6 +262,8 @@ class MelFeatureExtractor(FeatureExtractor):
             return (spec @ mel.T).astype(np.float32)  # (frames, n_mels)
         # onset + amplitude at the raw sample rate (:477-490)
         frame_length = 1024
+        if wave.shape[-1] < frame_length:  # shorter than one analysis frame
+            wave = np.pad(wave, (0, frame_length - wave.shape[-1]))
         shape = (wave.shape[-1] - frame_length + 1, frame_length)
         strides = (wave.strides[-1], wave.strides[-1])
         rolling = np.lib.stride_tricks.as_strided(wave, shape=shape,

@@ -180,6 +180,33 @@ def cache_dir_for(cfg: BeatXConfig) -> str:
     return os.path.join(cfg.cache_dir, sub)
 
 
+def cache_exists(cfg: BeatXConfig) -> bool:
+    """True when a usable window cache is already on disk (so callers can
+    skip constructing featurizers entirely)."""
+    return not cfg.new_cache and len(ShardCache(cache_dir_for(cfg))) > 0
+
+
+def make_default_extractor() -> Optional[FeatureExtractor]:
+    """Best available real featurizer: TPU-side flax HF models, then
+    torch-CPU HF, else None (build_cache will fall back to the stub with a
+    loud warning).  Call only when a cache actually needs building —
+    constructing the HF models downloads/loads ~1 GB of weights."""
+    logger = get_root_logger()
+    try:
+        from .beatx import FlaxHFFeatureExtractor
+
+        return FlaxHFFeatureExtractor()
+    except Exception:
+        pass
+    try:
+        from .beatx import HFFeatureExtractor
+
+        return HFFeatureExtractor()
+    except Exception as e:
+        logger.warning("HF feature extractors unavailable (%s)", e)
+        return None
+
+
 def build_cache(cfg: BeatXConfig, extractor: Optional[FeatureExtractor] = None,
                 smplx_model=None, additional_data: bool = True) -> ShardCache:
     """Featurize every selected clip into the window cache (idempotent:
@@ -203,6 +230,11 @@ def build_cache(cfg: BeatXConfig, extractor: Optional[FeatureExtractor] = None,
             extractor = MelFeatureExtractor(cfg.audio_rep, cfg.num_mels,
                                             cfg.hop_length)
         else:
+            logger.warning(
+                "building cache %s with the DETERMINISTIC STUB featurizer "
+                "(no real wav2vec2/BERT models were provided) — fine for "
+                "tests, but a model conditioned on real features will "
+                "produce garbage on this cache", cache_dir_for(cfg))
             extractor = StubFeatureExtractor()
     elif cfg.audio_rep in ("melspec", "onset+amplitude"):
         # keep the configured (HF) text path but swap the audio features

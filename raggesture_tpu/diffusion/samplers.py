@@ -35,6 +35,15 @@ class ScheduleSampler:
         iw = 1.0 / (len(p) * p[np.asarray(t)])
         return t.astype(jnp.int32), jnp.asarray(iw, jnp.float32)
 
+    def sample_np(self, np_rng: np.random.RandomState, batch: int):
+        """Host-side draw (numpy) for the train loop: (t (B,), weights (B,))
+        as numpy arrays — avoids device round-trips per step."""
+        w = np.asarray(self.weights(), np.float64)
+        p = w / w.sum()
+        t = np_rng.choice(len(p), size=batch, p=p)
+        iw = 1.0 / (len(p) * p[t])
+        return t.astype(np.int32), iw.astype(np.float32)
+
 
 class UniformSampler(ScheduleSampler):
     """gaussian_diffusion.py:62-74."""

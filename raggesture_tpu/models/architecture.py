@@ -220,6 +220,9 @@ def training_loss(
     sched_train: DiffusionSchedule,
     batch: Dict[str, jnp.ndarray],
     rng: jax.Array,
+    t: Optional[jnp.ndarray] = None,
+    t_weights: Optional[jnp.ndarray] = None,
+    return_per_sample: bool = False,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """One training-loss evaluation (reference diffusion_architecture.py:
     178-212 + gaussian_diffusion.training_losses :1432-1535).
@@ -238,7 +241,10 @@ def training_loss(
     token_mask = jax.lax.stop_gradient(token_mask)
     B, T, D = z0.shape
 
-    t = jax.random.randint(r_t, (B,), 0, sched_train.num_timesteps)
+    if t is None:
+        # default uniform schedule sampler (gaussian_diffusion.py:62-74);
+        # importance samplers draw t host-side and pass it in
+        t = jax.random.randint(r_t, (B,), 0, sched_train.num_timesteps)
     noise = jax.random.normal(r_noise, z0.shape, z0.dtype)
     x_t = G.q_sample(sched_train, z0, t, noise)
 
@@ -258,9 +264,18 @@ def training_loss(
     sq = jnp.mean((pred - target) ** 2, axis=-1)  # (B, T)
     lw = lossweight_mask(cfg, token_mask)
     masked = sq * token_mask * lw
-    loss = masked.sum() / jnp.maximum(token_mask.sum(), 1.0)
+    per_sample = masked.sum(axis=1) / jnp.maximum(token_mask.sum(axis=1), 1.0)
+    if t_weights is not None:
+        # importance-weighted objective (LossAwareSampler contract,
+        # gaussian_diffusion.py:38-59)
+        loss = (per_sample * t_weights).mean()
+    else:
+        loss = masked.sum() / jnp.maximum(token_mask.sum(), 1.0)
     logs = {"recon_loss": loss, "mse_unweighted": (sq * token_mask).sum()
             / jnp.maximum(token_mask.sum(), 1.0)}
+    if return_per_sample:
+        logs["per_sample_loss"] = per_sample
+        logs["t"] = t
     return loss, logs
 
 

@@ -68,6 +68,10 @@ class DenoiserConfig:
     num_heads: int = 16
     ff_size: int = 1024
     dropout: float = 0.0
+    # cross-attention overrides (reference ca_block_cfg may differ from
+    # sa_block_cfg; 0 / negative means 'same as self-attention')
+    ca_num_heads: int = 0
+    ca_dropout: float = -1.0
     text_latent_dim: int = 768   # precomputed BERT features
     audio_latent_dim: int = 768  # precomputed wav2vec2 features
     num_speakers: int = 25
@@ -79,6 +83,14 @@ class DenoiserConfig:
     audio_num_layers: int = 0
     cond_enc_heads: int = 4
     cond_enc_ff: int = 2048
+
+    @property
+    def ca_heads(self) -> int:
+        return self.ca_num_heads if self.ca_num_heads > 0 else self.num_heads
+
+    @property
+    def ca_drop(self) -> float:
+        return self.ca_dropout if self.ca_dropout >= 0 else self.dropout
 
     @property
     def tokens_per_part(self) -> int:
@@ -182,7 +194,7 @@ class DecoderLayer(nn.Module):
         for key in COND_KEYS:
             qm = query_masks[key] if query_masks is not None else None
             outs.append(
-                EfficientCrossAttention(c.latent_dim, c.num_heads, c.dropout,
+                EfficientCrossAttention(c.latent_dim, c.ca_heads, c.ca_drop,
                                         name=f"ca_{key}")(
                     x, conds[key], emb, query_mask=qm, cond_mask=cond_mask,
                     deterministic=deterministic,

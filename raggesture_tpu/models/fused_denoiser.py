@@ -199,11 +199,11 @@ def fused_denoise(
                       else cond_mask.reshape(B, 1, 1))
                 outs.append(fused_cross_attention(
                     h, conds[key], qm_col, cm, s, sh, blk[f"ca_{key}"],
-                    num_heads=c.num_heads))
+                    num_heads=c.ca_heads))
             else:
                 outs.append(cross_attention(
                     blk[f"ca_{key}"], h, conds[key], s, sh, qm, cond_mask,
-                    c.num_heads))
+                    c.ca_heads))
         h = _dense(jnp.concatenate(outs, axis=-1), blk["ca_mix"])
         s, sh = adaln[(i, "ffn")]
         h = ffn(blk["ffn"], h, s, sh)
@@ -218,11 +218,6 @@ def fused_denoise(
 # The reference recomputes k/v in every one of the 2x50x8x3 cross-attention
 # calls; caching removes all condition-side GEMMs from the hot loop.
 # ---------------------------------------------------------------------------
-
-def _head_seg_mask(D: int, H: int):
-    i = jnp.arange(D) // (D // H)
-    return (i[:, None] == i[None, :]).astype(jnp.float32)
-
 
 def cross_context(p_ca: Dict, xf: jnp.ndarray, cond_mask, num_heads: int
                   ) -> jnp.ndarray:
@@ -254,7 +249,7 @@ def precompute_cross_contexts(p: Dict, cfg: DenoiserConfig,
                               ) -> Dict:
     return {
         (i, key): cross_context(p[f"block_{i}"][f"ca_{key}"], conds[key],
-                                cond_mask, cfg.num_heads)
+                                cond_mask, cfg.ca_heads)
         for i in range(cfg.num_layers)
         for key in COND_KEYS
     }
@@ -345,7 +340,7 @@ def fused_denoise_ctx(
                 h_ca = fused_cross_attention_cached(
                     h, ctx_cache[(i, key)], qm3[..., COND_KEYS.index(key),
                                                  None],
-                    s, sh, blk[f"ca_{key}"], num_heads=c.num_heads)
+                    s, sh, blk[f"ca_{key}"], num_heads=c.ca_heads)
                 outs.append(h_ca)
             h = _dense(jnp.concatenate(outs, axis=-1), blk["ca_mix"])
         else:
@@ -357,7 +352,7 @@ def fused_denoise_ctx(
                 qm = query_masks[key] if query_masks is not None else None
                 outs.append(cross_attention_cached_xla(
                     blk[f"ca_{key}"], h, ctx_cache[(i, key)], s, sh, qm,
-                    c.num_heads))
+                    c.ca_heads))
             h = _dense(jnp.concatenate(outs, axis=-1), blk["ca_mix"])
         s, sh = adaln[(i, "ffn")]
         h = ffn(blk["ffn"], h, s, sh)

@@ -110,24 +110,32 @@ def _cast_floats(tree, dtype):
 
 def make_train_step(model: MotionDiffusionModel, tx,
                     sched_train: DiffusionSchedule,
-                    bf16_compute: bool = False):
+                    bf16_compute: bool = False,
+                    with_timesteps: bool = False):
     """Build the pure train-step fn (jit/pjit-ready).
 
     ``bf16_compute``: params and batch are cast to bfloat16 for the
     forward/backward; the cast's vjp accumulates gradients back into the
-    fp32 master params that the optimizer updates."""
+    fp32 master params that the optimizer updates.
+
+    ``with_timesteps``: the step takes (t, t_weights) drawn by an external
+    schedule sampler (diffusion/samplers.py) and returns per-sample losses
+    in the logs for the sampler's history update."""
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
-                   rng: jax.Array):
+                   rng: jax.Array, t=None, t_weights=None):
         rng = jax.random.fold_in(rng, state.step)
 
         def loss_fn(params):
+            kw = dict(t=t, t_weights=t_weights,
+                      return_per_sample=with_timesteps)
             if bf16_compute:
                 loss, logs = training_loss(
                     model, _cast_floats(params, jnp.bfloat16), sched_train,
-                    _cast_floats(batch, jnp.bfloat16), rng)
+                    _cast_floats(batch, jnp.bfloat16), rng, **kw)
                 return loss.astype(jnp.float32), logs
-            return training_loss(model, params, sched_train, batch, rng)
+            return training_loss(model, params, sched_train, batch, rng,
+                                 **kw)
 
         (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params
@@ -199,14 +207,15 @@ def build_optimizers(cfg_map: Dict[str, "OptimConfig"], params
     return optax.multi_transform(transforms, labels)
 
 
-def jit_train_step(train_step, mesh):
+def jit_train_step(train_step, mesh, with_timesteps: bool = False):
     """Jit the step with data-parallel shardings: state replicated, batch
     sharded on the batch dim (XLA inserts the gradient all-reduce)."""
     rep = replicated(mesh)
     bsh = batch_sharding(mesh)
+    in_sh = (rep, bsh, rep) + ((bsh, bsh) if with_timesteps else ())
     return jax.jit(
         train_step,
-        in_shardings=(rep, bsh, rep),
+        in_shardings=in_sh,
         out_shardings=(rep, rep),
         donate_argnums=(0,),
     )

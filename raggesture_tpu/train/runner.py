@@ -66,6 +66,7 @@ def train_model(
     log_interval: int = 10,
     tensorboard: bool = True,
     resume: bool = False,
+    resume_checkpoint: Optional[str] = None,
     seed: int = 0,
     retrieval_db=None,
     retrieval_save_dir: Optional[str] = None,
@@ -73,6 +74,7 @@ def train_model(
     val_loader=None,
     val_interval: int = 1,
     val_max_batches: int = 8,
+    schedule_sampler: str = "uniform",
 ) -> TrainState:
     """Run the epoch loop; returns the final TrainState (host-fetched)."""
     logger = get_root_logger()
@@ -90,7 +92,24 @@ def train_model(
     ckpt = CheckpointManager(workdir, interval=checkpoint_interval,
                              max_to_keep=checkpoint_max_to_keep)
     start_epoch = 0
-    if resume:
+    if resume_checkpoint:
+        # explicit checkpoint path: .../checkpoints/<epoch> or a workdir
+        # (reference resume_from contract, tools/train.py:27)
+        import os as _os
+
+        path = _os.path.abspath(resume_checkpoint)
+        base = _os.path.basename(path.rstrip("/"))
+        if base.isdigit():
+            src = CheckpointManager(_os.path.dirname(_os.path.dirname(path)),
+                                    interval=checkpoint_interval)
+            state, meta = src.restore(state, epoch=int(base))
+        else:
+            src = CheckpointManager(path, interval=checkpoint_interval)
+            state, meta = src.restore(state)
+        start_epoch = int(meta["epoch"]) + 1
+        logger.info("resumed from %s (epoch %d, step %d)", resume_checkpoint,
+                    int(meta["epoch"]), int(state.step))
+    elif resume:
         latest = ckpt.latest_epoch()
         if latest is not None:
             state, meta = ckpt.restore(state)
@@ -108,9 +127,22 @@ def train_model(
     from ..diffusion.schedules import DiffusionSchedule  # noqa: F401
 
     sched_train = model.cfg.diffusion_train.schedule()
+    # timestep schedule sampler (uniform stays fully in-graph; importance
+    # samplers draw t host-side and sync per-sample losses back — inherent
+    # to loss-aware resampling, same as the reference's per-step all_gather,
+    # gaussian_diffusion.py:85-106)
+    t_sampler = None
+    if schedule_sampler != "uniform":
+        from ..diffusion.samplers import build_sampler
+
+        t_sampler = build_sampler(schedule_sampler,
+                                  sched_train.num_timesteps)
+        t_rng = np.random.RandomState(seed + 17)
     step_fn = jit_train_step(
         make_train_step(model, tx, sched_train,
-                        bf16_compute=optim_cfg.bf16_compute), mesh)
+                        bf16_compute=optim_cfg.bf16_compute,
+                        with_timesteps=t_sampler is not None), mesh,
+        with_timesteps=t_sampler is not None)
     val_fn = None
     if val_loader is not None:
         from .loop import jit_val_step, make_val_step
@@ -119,6 +151,11 @@ def train_model(
     state = replicate_tree(state, mesh)
     rng = jax.device_put(jax.random.PRNGKey(seed), replicated(mesh))
 
+    # host-side step counter: fetching state.step every iteration would
+    # synchronize the host with the device per step, defeating async
+    # dispatch and the prefetching loader.  One fetch establishes the
+    # post-resume offset; afterwards the count is deterministic.
+    global_step = int(jax.device_get(state.step))
     try:
         for epoch in range(start_epoch, max_epochs):
             train_loader.set_epoch(epoch)
@@ -126,13 +163,26 @@ def train_model(
             n_batches = 0
             for batch in train_loader:
                 db = shard_batch(device_batch(batch), mesh)
-                state, logs = step_fn(state, db, rng)
+                if t_sampler is not None:
+                    B = next(iter(db.values())).shape[0]
+                    t_np, w_np = t_sampler.sample_np(t_rng, B)
+                    state, logs = step_fn(
+                        state, db, rng,
+                        shard_batch(jnp.asarray(t_np), mesh),
+                        shard_batch(jnp.asarray(w_np), mesh))
+                    if hasattr(t_sampler, "update_with_losses"):
+                        t_sampler.update_with_losses(
+                            t_np, np.asarray(logs.pop("per_sample_loss")))
+                        logs.pop("t", None)
+                else:
+                    state, logs = step_fn(state, db, rng)
                 n_batches += 1
-                step = int(state.step)
-                if step % log_interval == 0 or n_batches == 1:
+                global_step += 1
+                if global_step % log_interval == 0 or n_batches == 1:
+                    # device values are fetched only when actually logging
                     host_logs = {k: float(v) for k, v in logs.items()}
                     host_logs["epoch_time"] = time.time() - t_epoch
-                    writer.write(step, host_logs, epoch=epoch)
+                    writer.write(global_step, host_logs, epoch=epoch)
             if val_fn is not None and (epoch + 1) % val_interval == 0:
                 # validation pass (reference val workflow / val_step)
                 val_logs = []
@@ -144,7 +194,7 @@ def train_model(
                 if val_logs:
                     agg = {k: float(np.mean([float(l[k]) for l in val_logs]))
                            for k in val_logs[0]}
-                    writer.write(int(state.step), agg, prefix="val",
+                    writer.write(global_step, agg, prefix="val",
                                  epoch=epoch, force=True)
             if retrieval_db is not None and retrieval_save_dir and \
                     epoch == start_epoch:

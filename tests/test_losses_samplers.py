@@ -80,3 +80,61 @@ def test_loss_second_moment_resampler():
     assert counts[0] > counts[5]
     with pytest.raises(NotImplementedError):
         build_sampler("nope", 10)
+
+
+def test_sampler_wiring_in_train_step():
+    """loss-second-moment sampler wired through the train step: explicit t
+    reaches training_loss, per-sample losses come back, history updates."""
+    from raggesture_tpu.datasets.fixtures import tiny_arch_config, tiny_batch
+    from raggesture_tpu.models.architecture import MotionDiffusionModel
+    from raggesture_tpu.parallel.mesh import (
+        make_mesh,
+        replicate_tree,
+        replicated,
+        shard_batch,
+    )
+    from raggesture_tpu.train.loop import (
+        OptimConfig,
+        create_train_state,
+        jit_train_step,
+        make_train_step,
+    )
+
+    cfg = tiny_arch_config()
+    model = MotionDiffusionModel(cfg)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "vae": jax.random.PRNGKey(1)},
+        tiny_batch(batch=2))
+    state, tx = create_train_state(model, params, OptimConfig(total_steps=4))
+    mesh = make_mesh(1)
+    step = jit_train_step(
+        make_train_step(model, tx, cfg.diffusion_train.schedule(),
+                        with_timesteps=True), mesh, with_timesteps=True)
+    state = replicate_tree(state, mesh)
+    batch = shard_batch(tiny_batch(batch=2), mesh)
+    rng = jax.device_put(jax.random.PRNGKey(0), replicated(mesh))
+
+    sampler = LossSecondMomentResampler(cfg.diffusion_train.diffusion_steps,
+                                        history_per_term=2)
+    np_rng = np.random.RandomState(0)
+    for _ in range(3):
+        t_np, w_np = sampler.sample_np(np_rng, 2)
+        state, logs = step(state, batch, rng,
+                           shard_batch(jnp.asarray(t_np), mesh),
+                           shard_batch(jnp.asarray(w_np), mesh))
+        per = np.asarray(logs["per_sample_loss"])
+        assert per.shape == (2,) and np.isfinite(per).all()
+        assert np.array_equal(np.asarray(logs["t"]), t_np)
+        sampler.update_with_losses(t_np, per)
+    assert sampler._loss_counts.sum() == 6
+
+
+def test_sample_np_matches_weights():
+    s = LossSecondMomentResampler(10, history_per_term=2)
+    for _ in range(2):
+        s.update_with_losses(list(range(10)), [10.0] + [0.1] * 9)
+    rng = np.random.RandomState(1)
+    t, w = s.sample_np(rng, 4000)
+    counts = np.bincount(t, minlength=10)
+    assert counts[0] > counts[5]
+    assert np.all(w > 0) and t.dtype == np.int32

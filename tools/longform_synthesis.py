@@ -127,7 +127,11 @@ def main():
     )
     from raggesture_tpu.config import Config
     from raggesture_tpu.datasets.beatx import collate
-    from raggesture_tpu.datasets.build import build_dataset
+    from raggesture_tpu.datasets.build import (
+        build_dataset,
+        cache_exists,
+        make_default_extractor,
+    )
     from raggesture_tpu.models.architecture import (
         InferenceOptions,
         StagedGenerator,
@@ -163,17 +167,27 @@ def main():
     overlap = model.cfg.denoiser.frame_chunk_size  # 15
     fps = cfg.data.test.get("pose_fps", 15)
 
+    _ext = [None, False]
+
+    def _dataset(dcfg):
+        """build_dataset with lazy real-featurizer construction (only when a
+        cache is actually missing)."""
+        if not cache_exists(dcfg) and not _ext[1]:
+            _ext[0] = make_default_extractor()
+            _ext[1] = True
+        return build_dataset(dcfg, _ext[0])
+
     # full-clip test cache (reference pins test_cache_mode="full", :203)
     import dataclasses as _dc
 
     test_dcfg = _dc.replace(beatx_config_from(cfg.data.test),
                             test_cache_mode="full")
-    test_ds = build_dataset(test_dcfg)
+    test_ds = _dataset(test_dcfg)
     logger.info("test dataset (full clips): %d", len(test_ds))
 
     db = None
     if args.retrieval_method != "none":
-        train_ds = build_dataset(beatx_config_from(cfg.data.train))
+        train_ds = _dataset(beatx_config_from(cfg.data.train))
         rcfg = retrieval_config_from(cfg.model.model)
         corpus = RetrievalCorpus.build(train_ds, rcfg)
         db = RetrievalDatabase(corpus, rcfg, train_ds)

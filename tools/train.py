@@ -37,6 +37,10 @@ def parse_args():
     p.add_argument("--no-validate", action="store_true")
     p.add_argument("--device-batch-size", type=int, default=None,
                    help="override data.samples_per_device")
+    p.add_argument("--schedule-sampler", default="uniform",
+                   choices=["uniform", "loss-second-moment"],
+                   help="diffusion timestep sampler (loss-second-moment = "
+                        "importance resampling by recent loss magnitude)")
     p.add_argument("--profile", action="store_true",
                    help="capture a jax.profiler device trace of the first "
                         "training steps into <work-dir>/profile (view with "
@@ -90,23 +94,12 @@ def main():
         logger.info("env: %s = %s", k, v)
     logger.info("config: %s", args.config)
 
-    # dataset (features must be pre-extracted or HF models available)
+    # dataset (features must be pre-extracted or HF models available);
+    # featurizers are only constructed when a cache actually needs building
+    from raggesture_tpu.datasets.build import cache_exists, make_default_extractor
+
     dcfg = beatx_config_from(cfg.data.train)
-    extractor = None
-    try:
-        # TPU-side flax featurizers first, torch-CPU HF as fallback
-        from raggesture_tpu.datasets.beatx import FlaxHFFeatureExtractor
-
-        extractor = FlaxHFFeatureExtractor()
-    except Exception:
-        try:
-            from raggesture_tpu.datasets.beatx import HFFeatureExtractor
-
-            extractor = HFFeatureExtractor()
-        except Exception as e:
-            logger.warning("HF feature extractors unavailable (%s); the "
-                           "cache must already exist or features will be "
-                           "stubbed", e)
+    extractor = None if cache_exists(dcfg) else make_default_extractor()
     dataset = build_dataset(dcfg, extractor)
     logger.info("train dataset: %d windows", len(dataset))
 
@@ -169,7 +162,10 @@ def main():
     val_loader = None
     if not args.no_validate:
         try:
-            val_ds = build_dataset(beatx_config_from(cfg.data.val), extractor)
+            val_cfg_d = beatx_config_from(cfg.data.val)
+            if extractor is None and not cache_exists(val_cfg_d):
+                extractor = make_default_extractor()
+            val_ds = build_dataset(val_cfg_d, extractor)
             if len(val_ds) > 0:
                 val_loader = build_dataloader(
                     val_ds, batch_per_device, n_local, shuffle=False,
@@ -202,10 +198,14 @@ def main():
             log_interval=log_cfg.get("interval", 10),
             tensorboard=log_cfg.get("tensorboard", True),
             resume=args.resume_from is not None,
+        resume_checkpoint=(args.resume_from
+                           if args.resume_from not in (None, "latest")
+                           else None),
             seed=args.seed,
             retrieval_db=retrieval_db,
             retrieval_save_dir=retrieval_save_dir,
             val_loader=val_loader,
+            schedule_sampler=args.schedule_sampler,
         )
     logger.info("training done at step %d", int(state.step))
 

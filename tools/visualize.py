@@ -67,7 +67,11 @@ def main():
         retrieval_config_from,
     )
     from raggesture_tpu.config import Config
-    from raggesture_tpu.datasets.build import build_dataset
+    from raggesture_tpu.datasets.build import (
+        build_dataset,
+        cache_exists,
+        make_default_extractor,
+    )
     from raggesture_tpu.datasets.sampler import DataLoader
     from raggesture_tpu.models.architecture import (
         InferenceOptions,
@@ -100,14 +104,24 @@ def main():
     model = build_architecture(cfg.model)
     fps = cfg.data.train.get("pose_fps", 15)
 
+    _ext = [None, False]
+
+    def _dataset(dcfg):
+        """build_dataset with lazy real-featurizer construction (only when a
+        cache is actually missing)."""
+        if not cache_exists(dcfg) and not _ext[1]:
+            _ext[0] = make_default_extractor()
+            _ext[1] = True
+        return build_dataset(dcfg, _ext[0])
+
     # datasets: train = retrieval corpus (reference visualize.py:132), test
     test_dcfg = beatx_config_from(cfg.data.test)
-    test_ds = build_dataset(test_dcfg)
+    test_ds = _dataset(test_dcfg)
     logger.info("test dataset: %d windows", len(test_ds))
 
     db = None
     if args.retrieval_method != "none":
-        train_ds = build_dataset(beatx_config_from(cfg.data.train))
+        train_ds = _dataset(beatx_config_from(cfg.data.train))
         rcfg = retrieval_config_from(cfg.model.model)
         rcache = cfg.model.model.retrieval_cfg.get("cache_path")
         if rcache and os.path.exists(os.path.join(rcache, "meta.json")) \
