@@ -489,6 +489,16 @@ class StagedGenerator:
         self._conds = jax.jit(
             lambda p, b: model.apply(p, b, method=model.encode_conditions)
         )
+
+        def encode_and_conds(p, b):
+            # one dispatch for both call-prologue stages (each jit call pays
+            # a full tunnel round-trip on this rig)
+            z, mask = model.apply(p, b, rng=None, sample=False,
+                                  method=model.encode_motion)
+            cc = model.apply(p, b, method=model.encode_conditions)
+            return z, mask, cc
+
+        self._encode_and_conds = jax.jit(encode_and_conds)
         self._decode = jax.jit(
             lambda p, z: model.apply(p, z, method=model.decode_latents)
         )
@@ -657,10 +667,12 @@ class StagedGenerator:
         p = self.params
         r_noise, r_coef, r_loop = jax.random.split(rng, 3)
 
-        z_gt, token_mask = self._encode(p, batch)
+        z_gt, token_mask, conds = self._encode_and_conds(
+            p, {k: batch[k] for k in (
+                "motion_upper", "motion_lower", "motion_face", "motion_hands",
+                "trans", "facial", "contact", "motion_mask", "word", "audio",
+                "speaker_ids") if k in batch})
         B, T, D = z_gt.shape
-        conds = self._conds(p, {"word": batch["word"], "audio": batch["audio"],
-                                "speaker_ids": batch["speaker_ids"]})
         coef_table, start_noise = self._prep(r_coef, r_noise, (B, T, D))
         js = joint_scale_vector(dcfg, cfg.per_joint_scale)
         inv_all = None

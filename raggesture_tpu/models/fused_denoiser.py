@@ -270,7 +270,7 @@ def cross_attention_cached_xla(p, x, ctx, scale, shift, query_mask,
     return x + _stylize(y, p["proj_out"], scale, shift)
 
 
-@partial(jax.jit, static_argnames=("cfg", "use_pallas", "merged_ca"))
+@partial(jax.jit, static_argnames=("cfg", "use_pallas", "merged_ca", "ffn_pallas"))
 def fused_denoise_ctx(
     params: Dict,
     cfg: DenoiserConfig,
@@ -281,6 +281,7 @@ def fused_denoise_ctx(
     query_masks: Dict[str, jnp.ndarray],
     use_pallas: bool = True,
     merged_ca: bool = False,
+    ffn_pallas: bool = False,
 ) -> jnp.ndarray:
     """fused_denoise with cached cross-attention contexts (inference path:
     the conditions never change within a sampling run)."""
@@ -355,6 +356,14 @@ def fused_denoise_ctx(
                     c.ca_heads))
             h = _dense(jnp.concatenate(outs, axis=-1), blk["ca_mix"])
         s, sh = adaln[(i, "ffn")]
-        h = ffn(blk["ffn"], h, s, sh)
+        if use_pallas and ffn_pallas:
+            # measured slightly SLOWER than the in-scan XLA FFN on v5e
+            # (24.9ms vs 23.5ms per 50-step loop) — available for future
+            # shapes, off by default
+            from ..ops.pallas.linear_attention_kernel import fused_ffn
+
+            h = fused_ffn(h, s, sh, blk["ffn"])
+        else:
+            h = ffn(blk["ffn"], h, s, sh)
 
     return _dense(h, p["out"])

@@ -496,3 +496,84 @@ def fused_cross_block_cached(
         *flat_inputs,
     )
     return out[:, :T, :]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_ffn(
+    x: jnp.ndarray,          # (B, T, D)
+    scale: jnp.ndarray,      # (B, D)
+    shift: jnp.ndarray,      # (B, D)
+    params: dict,            # FFN param subtree (linear1/linear2/proj_out)
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Pallas twin of layers.FFN: linear1 → GELU → linear2 → adaLN
+    stylization epilogue → residual, one kernel per batch element."""
+    B, T, D = x.shape
+    Tp = max(_round_up(T, 8), 8)
+    if Tp != T:
+        x = jnp.pad(x, ((0, 0), (0, Tp - T), (0, 0)))
+
+    l1, l2 = params["linear1"], params["linear2"]
+    st = params["proj_out"]
+    F = l1["kernel"].shape[1]
+    row = lambda a: jnp.asarray(a, jnp.float32).reshape(1, -1)
+
+    def erf_poly(v):
+        # Abramowitz–Stegun 7.1.26 rational approximation (|err| < 1.5e-7,
+        # i.e. float32-exact) — Mosaic has no erf lowering
+        a1, a2, a3 = 0.254829592, -0.284496736, 1.421413741
+        a4, a5, pp = -1.453152027, 1.061405429, 0.3275911
+        sign = jnp.sign(v)
+        va = jnp.abs(v)
+        t = 1.0 / (1.0 + pp * va)
+        poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+        return sign * (1.0 - poly * jnp.exp(-va * va))
+
+    def kernel(x_ref, scale_ref, shift_ref, w1, b1, w2, b2,
+               sn_s, sn_b, wo, bo, out_ref):
+        xb = x_ref[0]
+        y = jnp.dot(xb, w1[:], preferred_element_type=jnp.float32) + b1[:]
+        # exact-GELU semantics, matching nn.gelu(approximate=False)
+        y = y * 0.5 * (1.0 + erf_poly(y * 0.7071067811865476))
+        y = jnp.dot(y, w2[:], preferred_element_type=jnp.float32) + b2[:]
+        ymu = jnp.mean(y, axis=-1, keepdims=True)
+        yvar = jnp.mean((y - ymu) ** 2, axis=-1, keepdims=True)
+        h = (y - ymu) * jax.lax.rsqrt(yvar + 1e-5) * sn_s[:] + sn_b[:]
+        h = h * (1.0 + scale_ref[0]) + shift_ref[0]
+        h = h * jax.nn.sigmoid(h)
+        out = jnp.dot(h, wo[:], preferred_element_type=jnp.float32) + bo[:]
+        out_ref[0] = xb + out
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, Tp, D), jnp.float32),
+        grid_spec=pl.GridSpec(
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((1, Tp, D), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, D), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, D), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
+            out_specs=pl.BlockSpec((1, Tp, D), lambda b: (b, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=B * 2 * Tp * D * (2 * F + D),
+            bytes_accessed=B * 2 * Tp * D * 4 + (2 * D * F + D * D) * 4,
+            transcendentals=B * Tp * (F + D),
+        ),
+    )(
+        x.astype(jnp.float32),
+        scale.astype(jnp.float32)[:, None, :],
+        shift.astype(jnp.float32)[:, None, :],
+        jnp.asarray(l1["kernel"], jnp.float32), row(l1["bias"]),
+        jnp.asarray(l2["kernel"], jnp.float32), row(l2["bias"]),
+        row(st["norm"]["scale"]), row(st["norm"]["bias"]),
+        jnp.asarray(st["out_proj"]["kernel"], jnp.float32),
+        row(st["out_proj"]["bias"]),
+    )
+    return out[:, :T, :]

@@ -105,3 +105,23 @@ def test_fused_cross_attention_matches_xla():
                                  params, num_heads=H, interpret=True)
     np.testing.assert_allclose(np.asarray(out0)[valid],
                                np.asarray(ref0)[valid], atol=2e-5)
+
+
+def test_fused_ffn_matches_xla():
+    from raggesture_tpu.models.layers import FFN
+    from raggesture_tpu.ops.pallas.linear_attention_kernel import fused_ffn
+
+    B, T, D, E = 2, 43, 512, 96
+    rng = np.random.RandomState(9)
+    x = jnp.asarray(rng.randn(B, T, D), jnp.float32) * 0.5
+    emb = jnp.asarray(rng.randn(B, E), jnp.float32)
+    mod = FFN(D, 1024, 0.0)
+    params = mod.init(jax.random.PRNGKey(3), x, emb)["params"]
+    params["proj_out"]["out_proj"]["kernel"] = 0.02 * jax.random.normal(
+        jax.random.PRNGKey(4), (D, D))
+    params["linear2"]["kernel"] = 0.02 * jax.random.normal(
+        jax.random.PRNGKey(5), (1024, D))
+    ref = mod.apply({"params": params}, x, emb)
+    scale, shift = adaln_scale_shift(emb, params["proj_out"])
+    out = fused_ffn(x, scale, shift, params, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
