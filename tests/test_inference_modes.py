@@ -1,0 +1,131 @@
+"""Inference-mode coverage: outpainting (in_seq) and prev-latent handoff
+through the StagedGenerator (reference inference_kwargs surface,
+diffusion_architecture.py:214-249)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raggesture_tpu.datasets.fixtures import tiny_arch_config, tiny_batch
+from raggesture_tpu.models.architecture import (
+    InferenceOptions,
+    MotionDiffusionModel,
+    StagedGenerator,
+    masked_prev_latent,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_arch_config()
+    model = MotionDiffusionModel(cfg)
+    batch = tiny_batch(batch=2)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "vae": jax.random.PRNGKey(1)},
+        batch)
+
+    # randomize zero-init leaves: with the zero x0 head the sampler output
+    # is identically 0 for ANY input, which would make every behavioral
+    # assertion vacuous
+    def derandomize(tree, key=[100]):
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                derandomize(v, key)
+            else:
+                key[0] += 1
+                arr = np.asarray(v)
+                if arr.size and np.allclose(arr, 0):
+                    tree[k] = 0.05 * jax.random.normal(
+                        jax.random.PRNGKey(key[0]), v.shape)
+
+    params = jax.tree_util.tree_map(np.asarray, params)
+    derandomize(params["params"]["denoiser"])
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    gen = StagedGenerator(model, params, cfg.diffusion_test.schedule())
+    return cfg, model, params, batch, gen
+
+
+def test_outpaint_in_seq_sampling_level():
+    """in_seq outpainting: nonzero rows are q_sampled and overwrite x at
+    every step BEFORE the model call (gaussian_diffusion.py:934-947).  With
+    an identity x0-predictor the final step passes the pinned rows through
+    (a zero predictor would map them to 0 — exactly as in the reference,
+    where only a trained model reconstructs the splice)."""
+    from raggesture_tpu.diffusion import sampling as S
+    from raggesture_tpu.diffusion.gaussian import MeanType, VarType
+    from raggesture_tpu.diffusion.schedules import make_schedule
+
+    sched = make_schedule("scaled_linear", 100, "2,2,2,2,2", 10)
+    B, T, D = 2, 6, 8
+    noise = jax.random.normal(jax.random.PRNGKey(0), (B, T, D))
+    in_seq = np.zeros((B, T, D), np.float32)
+    in_seq[:, 1, :] = 3.0
+
+    def model_fn(x, t_orig, step_idx):
+        return x  # identity x0-predictor
+
+    out = S.ddim_sample_loop(model_fn, sched, noise, jax.random.PRNGKey(1),
+                             mean_type=MeanType.START_X,
+                             var_type=VarType.FIXED_LARGE,
+                             in_seq=jnp.asarray(in_seq))
+    lat = np.asarray(out)
+    assert abs(lat[:, 1].mean() - 3.0) < 0.5, lat[:, 1].mean()
+    assert abs(lat[:, 0].mean()) < 1.5  # free rows stay O(noise)
+
+
+def test_outpaint_mode_generator_smoke(setup):
+    """StagedGenerator outpaint wiring: raw_motion_latents reach the in_seq
+    path and the run completes with the right shapes."""
+    cfg, model, params, batch, gen = setup
+    B = 2
+    T, D = cfg.denoiser.num_tokens, cfg.denoiser.latent_dim
+    rml = np.zeros((B, T, D), np.float32)
+    rml[:, 1, :] = 3.0
+    re_dict = {"raw_motion_latents": rml[:, None]}  # (B, 1, T, D)
+    out = gen(batch, jax.random.PRNGKey(0),
+              opts=InferenceOptions(outpaint=True), re_dict=re_dict)
+    lat = np.asarray(out["output_latents"])
+    assert lat.shape == (B, T, D) and np.isfinite(lat).all()
+    assert out["pred_upper"].shape[:2] == (B, cfg.codec.num_frames)
+
+
+def test_prev_latent_handoff(setup):
+    """Long-form handoff: each part's LAST latent token seeds the next
+    window's FIRST token (diffusion_architecture.py:286-297)."""
+    cfg, model, params, batch, gen = setup
+    dcfg = cfg.denoiser
+    B, T, D = 2, dcfg.num_tokens, dcfg.latent_dim
+    prev = jnp.asarray(np.random.RandomState(0).randn(B, T, D), jnp.float32)
+
+    # unit: masked_prev_latent moves last->first per part, zero elsewhere
+    m = np.asarray(masked_prev_latent(dcfg, prev))
+    for sl in dcfg.part_slices().values():
+        np.testing.assert_allclose(m[:, sl.start],
+                                   np.asarray(prev)[:, sl.stop - 1])
+        assert np.allclose(m[:, sl.start + 1: sl.stop], 0.0)
+    for sep in dcfg.sep_indices:
+        assert np.allclose(m[:, sep], 0.0)
+
+    # end-to-end smoke: the handoff wires through and changes the result
+    # (with the zero-init x0 head the final model step maps the spliced
+    # tokens toward 0 — same as the reference with an untrained model — so
+    # we assert influence, not exact pinning)
+    out = gen(batch, jax.random.PRNGKey(1),
+              opts=InferenceOptions(use_prev_latent=True), prev_latent=prev)
+    out_free = gen(batch, jax.random.PRNGKey(1))
+    lat = np.asarray(out["output_latents"])
+    assert lat.shape == prev.shape and np.isfinite(lat).all()
+    diff = np.abs(lat - np.asarray(out_free["output_latents"])).max()
+    assert diff > 1e-3, "prev-latent handoff had no effect on the output"
+
+
+def test_mode_validation(setup):
+    with pytest.raises(AssertionError):
+        InferenceOptions(outpaint=True, use_inversion=True).validate()
+    with pytest.raises(AssertionError):
+        InferenceOptions(insertion_guidance=True).validate()
+    with pytest.raises(AssertionError):
+        InferenceOptions(use_prev_latent=True, outpaint=True).validate()
