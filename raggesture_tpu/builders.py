@@ -85,6 +85,11 @@ def codec_config_from(mcfg: Mapping[str, Any]) -> CodecConfig:
         lowertrans_num_heads=_get(vae, "lowertrans_num_heads", 8),
         ff_size=_get(vae, "ff_size", 1024),
         dropout=_get(vae, "dropout", 0.1),
+        activation=_get(vae, "transformer_activation",
+                        _get(vae, "activation", "gelu")),
+        normalize_before=_get(vae, "transformer_normalize_before",
+                              _get(vae, "normalize_before", False)),
+        position_embedding=_get(vae, "position_embedding", "learned"),
     )
 
 

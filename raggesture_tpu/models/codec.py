@@ -58,6 +58,8 @@ class CodecConfig:
     dropout: float = 0.1
     position_embedding: str = "learned"
     decoder_arch: str = "all_encoder"
+    activation: str = "gelu"            # reference transformer_activation
+    normalize_before: bool = False      # reference transformer_normalize_before
 
     @property
     def tokens_per_part(self) -> int:
@@ -83,6 +85,8 @@ class CodecConfig:
             dropout=self.dropout,
             position_embedding=self.position_embedding,
             decoder_arch=self.decoder_arch,
+            activation=self.activation,
+            normalize_before=self.normalize_before,
             frame_chunk_size=self.frame_chunk_size,
             num_frames=self.num_frames,
         )

@@ -366,3 +366,74 @@ def test_convert_release_assembles_full_tree():
         "upper_vae", "hands_vae", "face_vae", "lowertrans_vae"}
     assert tree["params"]["denoiser"]["block_1"]["ca_mix"]["kernel"].shape == (
         3 * D, D)
+
+
+def _torch_layer_post(layer, src, pos=None):
+    """detr_utils.TransformerEncoderLayer.forward_post semantics (:359-371)
+    driven through a stock torch layer's submodules (pos added to q/k only)."""
+    qk = src if pos is None else src + pos
+    a = layer.self_attn(qk, qk, src)[0]
+    src = layer.norm1(src + layer.dropout1(a))
+    f = layer.linear2(layer.dropout(layer.activation(layer.linear1(src))))
+    return layer.norm2(src + layer.dropout2(f))
+
+
+def _torch_skip_forward(enc, x, pos=None):
+    """SkipTransformerEncoder.forward (:125-148) with optional pos."""
+    xs = []
+    for m in enc.input_blocks:
+        x = _torch_layer_post(m, x, pos)
+        xs.append(x)
+    x = _torch_layer_post(enc.middle_block, x, pos)
+    for m, lin in zip(enc.output_blocks, enc.linear_blocks):
+        x = lin(torch.cat([x, xs.pop()], dim=-1))
+        x = _torch_layer_post(m, x, pos)
+    return enc.norm(x)
+
+
+def test_full_vae_encode_decode_torch_parity():
+    """End-to-end TransformerVAE parity: converted weights reproduce the
+    reference's encode_to_dist (chunking, global tokens, PE-on-stream) and
+    all_encoder decode (PE-as-pos quirk) from a LIVE torch model
+    (gesture_vae.py:128-239)."""
+    torch.manual_seed(11)
+    nfeats, chunk, frames = 8, 5, 10
+    tv = TorchVAE(nfeats).eval()
+    state = {k: v.detach().numpy() for k, v in tv.state_dict().items()}
+    params = {"params": convert_vae(state, num_layers=LAYERS)}
+    cfg = vae_cfg(nfeats)
+    vae = TransformerVAE(cfg)
+
+    B = 2
+    feats_np = np.random.RandomState(12).randn(B, frames, nfeats).astype(
+        np.float32)
+    n_chunks = frames // chunk
+
+    with torch.no_grad():
+        x = torch.from_numpy(feats_np)
+        x = x.reshape(B * n_chunks, chunk, nfeats).permute(1, 0, 2)
+        x = tv.skel_embedding(x)
+        dist = tv.global_motion_token[:, None, :].tile(1, B * n_chunks, 1)
+        xseq = torch.cat((dist, x), dim=0)
+        xseq = xseq + tv.query_pos_encoder.pe[: xseq.shape[0]]
+        latent = _torch_skip_forward(tv.encoder, xseq)[:2]
+        mu_t = latent[0].reshape(B, n_chunks, D).numpy()
+        logvar_t = latent[1].reshape(B, n_chunks, D).numpy()
+
+    mu_j, logvar_j = vae.apply(params, jnp.asarray(feats_np),
+                               method=vae.encode_dist)
+    np.testing.assert_allclose(np.asarray(mu_j), mu_t, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(logvar_j), logvar_t, atol=5e-5)
+
+    # decode parity (all_encoder arch with the pos quirk)
+    z_np = mu_t
+    with torch.no_grad():
+        z = torch.from_numpy(z_np).permute(1, 0, 2)  # (n_chunks, B, D)
+        queries = torch.zeros(frames, B, D)
+        xseq = torch.cat((z, queries), dim=0)
+        query_pos = xseq + tv.query_pos_decoder.pe[: xseq.shape[0]]
+        out = _torch_skip_forward(tv.decoder, xseq, pos=query_pos)[n_chunks:]
+        rec_t = tv.final_layer(out).permute(1, 0, 2).numpy()
+
+    rec_j = vae.apply(params, jnp.asarray(z_np), frames, method=vae.decode)
+    np.testing.assert_allclose(np.asarray(rec_j), rec_t, atol=1e-4)

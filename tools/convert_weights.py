@@ -99,7 +99,29 @@ def main():
         vae_states[part] = load_torch_state(ckpt)
         params = {"params": convert_vae(vae_states[part])}
         out = os.path.join(args.vae_dir, f"{part}.msgpack")
-        save_params(out, params, meta={"source": ckpt})
+        # carry the architecture hyperparameters from the run yaml so the
+        # codec config can be checked against them (activation /
+        # normalize_before change the math, not the param tree)
+        meta = {"source": ckpt}
+        ydir = os.path.dirname(ckpt)
+        for yml in glob.glob(os.path.join(ydir, "*.yaml")):
+            import re
+
+            txt = open(yml).read()
+            for key in ("transformer_activation", "transformer_normalize_before",
+                        "position_embedding", "num_heads", "num_layers",
+                        "ff_size", "latent_dim", "frame_chunk_size",
+                        "decoder_arch", "vae_dist"):
+                m = re.search(rf"^{key}:\s*(\S+)", txt, re.M)
+                if m:
+                    meta[key] = m.group(1)
+            break
+        save_params(out, params, meta=meta)
+        if meta.get("transformer_activation", "gelu") != "gelu":
+            logger.warning(
+                "%s VAE was trained with activation=%s — set "
+                "model.model.vae_cfg.transformer_activation accordingly",
+                part, meta["transformer_activation"])
         logger.info("wrote %s", out)
 
     if args.denoiser:
