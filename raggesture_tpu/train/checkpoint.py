@@ -108,3 +108,40 @@ def load_params(path: str, params_like: Any = None) -> Any:
                                           params_like)
         return ckptr.restore(path, abstract)
     return ckptr.restore(path)
+
+
+def load_codec_params(params, vae_cfg: dict, logger=None):
+    """Graft pretrained body-part VAE params into a model tree.
+
+    The reference loads each frozen VAE from its own checkpoint at
+    architecture build (diffusion_transformer.py:137-188).  Here
+    ``vae_cfg`` is the config's vae_cfg dict whose ``{part}_ckpt`` entries
+    name per-part orbax params (written by tools/convert_weights.py or
+    tools/train_vae.py); present entries replace the matching
+    ``params["params"]["codec"]["{part}_vae"]`` subtree.  Missing files are
+    skipped with a warning (fresh init is kept).
+    """
+    import jax
+
+    codec = dict(params["params"]["codec"])
+    loaded = []
+    for part in ("upper", "hands", "face", "lowertrans"):
+        path = (vae_cfg or {}).get(f"{part}_ckpt")
+        if not path:
+            continue
+        if not os.path.exists(path):
+            if logger:
+                logger.warning("codec %s checkpoint %s not found — keeping "
+                               "the fresh init", part, path)
+            continue
+        blob = load_params(path, {"params": codec[f"{part}_vae"]})
+        sub = blob["params"] if "params" in blob else blob
+        # tools/train_vae.py saves {"params": vae_params}
+        codec[f"{part}_vae"] = jax.tree_util.tree_map(lambda x: x, sub)
+        loaded.append(part)
+    if logger and loaded:
+        logger.info("loaded pretrained codec parts: %s", loaded)
+    new_params = dict(params)
+    new_params["params"] = dict(params["params"])
+    new_params["params"]["codec"] = codec
+    return new_params

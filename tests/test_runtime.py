@@ -333,3 +333,36 @@ def test_prefetch_loader_matches_sync():
     a1 = next(iter(dl))
     b1 = next(iter(pf))
     assert a1["sample_name"] == b1["sample_name"]
+
+
+def test_load_codec_params_grafting(tmp_path):
+    """vae_cfg {part}_ckpt entries graft pretrained VAE params into the
+    model tree (the reference's load_vae contract)."""
+    from raggesture_tpu.train.checkpoint import load_codec_params, save_params
+
+    cfg = tiny_arch_config()
+    model = MotionDiffusionModel(cfg)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "vae": jax.random.PRNGKey(1)},
+        tiny_batch(batch=2))
+    params = jax.tree_util.tree_map(np.asarray, params)
+
+    # fake pretrained upper VAE: the init subtree scaled by 2
+    pre = {"params": jax.tree_util.tree_map(
+        lambda x: x * 2.0, params["params"]["codec"]["upper_vae"])}
+    path = str(tmp_path / "upper.msgpack")
+    save_params(path, pre)
+
+    out = load_codec_params(params, {"upper_ckpt": path,
+                                     "hands_ckpt": str(tmp_path / "nope")})
+    # upper replaced, hands (missing file) kept
+    a = jax.tree_util.tree_leaves(out["params"]["codec"]["upper_vae"])[0]
+    b = jax.tree_util.tree_leaves(params["params"]["codec"]["upper_vae"])[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b) * 2.0, rtol=1e-6)
+    c = jax.tree_util.tree_leaves(out["params"]["codec"]["hands_vae"])[0]
+    d = jax.tree_util.tree_leaves(params["params"]["codec"]["hands_vae"])[0]
+    np.testing.assert_allclose(np.asarray(c), np.asarray(d))
+    # denoiser untouched
+    e = jax.tree_util.tree_leaves(out["params"]["denoiser"])[0]
+    f = jax.tree_util.tree_leaves(params["params"]["denoiser"])[0]
+    np.testing.assert_allclose(np.asarray(e), np.asarray(f))

@@ -140,6 +140,12 @@ def main():
 
         params = init_params(model, jax.random.PRNGKey(args.seed),
                              {k: v[:1] for k, v in device_batch(first).items()})
+        # graft pretrained frozen-codec VAEs (the reference loads them at
+        # architecture build from vae_cfg, diffusion_transformer.py:137-188)
+        from raggesture_tpu.train.checkpoint import load_codec_params
+
+        params = load_codec_params(
+            params, cfg.model.model.get("vae_cfg", {}), logger)
 
     # optional retrieval database for memoization persistence during training
     retrieval_db = None
