@@ -472,14 +472,20 @@ class StagedGenerator:
     guidance + prev-latent + outpaint)."""
 
     def __init__(self, model: MotionDiffusionModel, params,
-                 sched_test: DiffusionSchedule, fused: bool = False):
+                 sched_test: DiffusionSchedule, fused: bool = False,
+                 merged_ca: bool = False):
         """``fused=True`` routes every denoiser call through the performance
         apply-path (models/fused_denoiser.py: Pallas self-attention kernel +
-        stacked adaLN) — numerically equivalent, inference-only."""
+        stacked adaLN) — numerically equivalent, inference-only.
+        ``merged_ca=True`` additionally runs each layer's three cached-context
+        cross-attentions + ca_mix as ONE Pallas kernel — measured ~10% slower
+        than three separate kernels on v5e (26.1 vs 23.7 ms per 50-step scan),
+        kept as an option for other shapes."""
         self.model = model
         self.params = params
         self.sched = sched_test
         self.fused = fused
+        self.merged_ca = merged_ca
         cfg = model.cfg
 
         self._encode = jax.jit(
@@ -532,12 +538,18 @@ class StagedGenerator:
 
             from .conditioning import mix_outputs
             from .fused_denoiser import (
+                adaln_table,
                 fused_denoise_ctx,
                 precompute_cross_contexts,
             )
 
             pd = p["params"]["denoiser"] if "denoiser" in p.get(
                 "params", {}) else p["params"]
+            # every sampling loop's t_orig is timestep_map[step_idx] and is
+            # shared across the batch, so the adaLN rows for ALL steps are
+            # one GEMM here, outside the scan (see fused_denoiser.adaln_table)
+            table = adaln_table(p, cfg.denoiser,
+                                jnp.asarray(sched_test.timestep_map))
             if mixed:
                 B = token_mask.shape[0]
                 conds2 = {k: jnp.concatenate([v, v], axis=0)
@@ -554,7 +566,8 @@ class StagedGenerator:
                     x2 = jnp.concatenate([x, x], axis=0)
                     t2 = jnp.concatenate([t_orig, t_orig], axis=0)
                     out = fused_denoise_ctx(p, cfg.denoiser, x2, t2, mask2,
-                                            ctx, qm2)
+                                            ctx, qm2, merged_ca=self.merged_ca,
+                                            adaln_row=table[step_idx])
                     return mix_outputs(out, Bx, coef_table, step_idx, js)
 
                 return model_fn
@@ -564,7 +577,9 @@ class StagedGenerator:
 
             def model_fn(x, t_orig, step_idx):
                 return fused_denoise_ctx(p, cfg.denoiser, x, t_orig,
-                                         token_mask, ctx, qm)
+                                         token_mask, ctx, qm,
+                                         merged_ca=self.merged_ca,
+                                         adaln_row=table[step_idx])
 
             return model_fn
 

@@ -53,11 +53,13 @@ def _dense(x, p):
     return x @ p["kernel"] + p["bias"]
 
 
-def stacked_adaln(params: Dict, emb: jnp.ndarray, num_layers: int):
-    """One GEMM for every stylization block's (scale, shift).
+def _adaln_index(num_layers: int):
+    return [(i, slot) for i in range(num_layers) for slot in STYL_SLOTS]
 
-    Returns {(layer, slot): (scale (B,D), shift (B,D))}."""
-    kernels, biases, index = [], [], []
+
+def _stacked_adaln_raw(params: Dict, emb: jnp.ndarray, num_layers: int):
+    """silu(emb) @ [all emb_layer kernels] + biases -> (rows, n_slots*2D)."""
+    kernels, biases = [], []
     for i in range(num_layers):
         blk = params[f"block_{i}"]
         for slot in STYL_SLOTS:
@@ -66,17 +68,50 @@ def stacked_adaln(params: Dict, emb: jnp.ndarray, num_layers: int):
             st = sub["proj_out"]["emb_layer"]
             kernels.append(jnp.asarray(st["kernel"]))
             biases.append(jnp.asarray(st["bias"]))
-            index.append((i, slot))
     K = jnp.concatenate(kernels, axis=1)          # (E, n*2D)
     Bv = jnp.concatenate(biases, axis=0)          # (n*2D,)
-    out = jax.nn.silu(emb) @ K + Bv               # (B, n*2D)
-    two_d = kernels[0].shape[1]
+    return jax.nn.silu(emb) @ K + Bv, kernels[0].shape[1]
+
+
+def _split_adaln(out: jnp.ndarray, two_d: int, num_layers: int):
     D = two_d // 2
     res = {}
-    for j, key in enumerate(index):
-        seg = out[:, j * two_d : (j + 1) * two_d]
+    for j, key in enumerate(_adaln_index(num_layers)):
+        seg = out[:, j * two_d: (j + 1) * two_d]
         res[key] = (seg[:, :D], seg[:, D:])
     return res
+
+
+def stacked_adaln(params: Dict, emb: jnp.ndarray, num_layers: int):
+    """One GEMM for every stylization block's (scale, shift).
+
+    Returns {(layer, slot): (scale (B,D), shift (B,D))}."""
+    out, two_d = _stacked_adaln_raw(params, emb, num_layers)
+    return _split_adaln(out, two_d, num_layers)
+
+
+def adaln_table(params: Dict, cfg: DenoiserConfig, t_all: jnp.ndarray
+                ) -> jnp.ndarray:
+    """Precompute every sampling step's adaLN row in ONE GEMM.
+
+    In all sampling loops the original timestep is a static function of the
+    step index (sampling.py::_model_call: t_orig = timestep_map[i]) and is
+    shared by the whole batch, so the per-step (B, 2048) @ (2048, n·2D)
+    adaLN GEMM is loop-invariant per step.  At B=2 XLA lowers that GEMM
+    abysmally (~224 us/step on v5e — half the whole sampling scan); hoisting
+    it out as one (S, 2048) @ (2048, n·2D) GEMM removes it (and the
+    time-embed MLP) from the hot loop entirely.
+
+    Returns (S, n_slots·2D); index with the scan's step_idx and pass the row
+    to fused_denoise_ctx(adaln_row=...).
+    """
+    p = params["params"]["denoiser"] if "denoiser" in params.get(
+        "params", {}) else params["params"]
+    emb = timestep_embedding(t_all, cfg.latent_dim)
+    emb = _dense(jax.nn.silu(_dense(emb, p["time_embed_1"])),
+                 p["time_embed_2"])
+    out, _ = _stacked_adaln_raw(p, emb, cfg.num_layers)
+    return out
 
 
 def _stylize(y, p, scale, shift):
@@ -282,9 +317,14 @@ def fused_denoise_ctx(
     use_pallas: bool = True,
     merged_ca: bool = False,
     ffn_pallas: bool = False,
+    adaln_row: jnp.ndarray = None,
 ) -> jnp.ndarray:
     """fused_denoise with cached cross-attention contexts (inference path:
-    the conditions never change within a sampling run)."""
+    the conditions never change within a sampling run).
+
+    ``adaln_row``: optional (n_slots·2D,) precomputed adaLN row for this
+    step (see :func:`adaln_table`) — skips the in-loop time-embed MLP and
+    adaLN GEMM; valid whenever every batch element shares the same t."""
     use_pallas = use_pallas and jax.default_backend() == "tpu"
     p = params["params"]["denoiser"] if "denoiser" in params.get(
         "params", {}) else params["params"]
@@ -293,9 +333,6 @@ def fused_denoise_ctx(
     L = c.tokens_per_part
 
     src_mask = motion_mask[..., None].astype(latents.dtype)
-    emb = timestep_embedding(t_orig, c.latent_dim)
-    emb = _dense(jax.nn.silu(_dense(emb, p["time_embed_1"])),
-                 p["time_embed_2"])
     h = _dense(latents, p["joint_embed"])
     pos = sine_position_table(L, c.latent_dim)
     sep = jnp.zeros((1, c.latent_dim))
@@ -303,7 +340,16 @@ def fused_denoise_ctx(
     h = h + pos_cat[None, :T, :]
     h = h + jnp.asarray(p["global_positional_embedding"]["pe"])[None, :T, :]
 
-    adaln = stacked_adaln(p, emb, c.num_layers)
+    if adaln_row is not None:
+        # one precomputed (n_slots*2D,) row, shared across the batch
+        adaln = _split_adaln(
+            jnp.broadcast_to(adaln_row[None, :], (B, adaln_row.shape[-1])),
+            2 * c.latent_dim, c.num_layers)
+    else:
+        emb = timestep_embedding(t_orig, c.latent_dim)
+        emb = _dense(jax.nn.silu(_dense(emb, p["time_embed_1"])),
+                     p["time_embed_2"])
+        adaln = stacked_adaln(p, emb, c.num_layers)
 
     from ..ops.pallas.linear_attention_kernel import (
         fused_cross_attention_cached,
@@ -331,7 +377,7 @@ def fused_denoise_ctx(
             h = fused_cross_block_cached(
                 h, ctx3, qm3, scale3, shift3,
                 tuple(blk[f"ca_{key}"] for key in COND_KEYS),
-                blk["ca_mix"], num_heads=c.num_heads)
+                blk["ca_mix"], num_heads=c.ca_heads)
         elif use_pallas:
             h = fused_self_attention(h, src_mask, s, sh, blk["sa_block"],
                                      num_heads=c.num_heads)
