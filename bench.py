@@ -36,7 +36,9 @@ def main():
                           fused=jax.default_backend() == "tpu")
 
     def run(rng):
-        out = gen(batch, rng)
+        # single-dispatch plain-generation pipeline (conds -> scan -> decode
+        # in ONE jit): one host->device round trip per clip
+        out = gen.sample(batch, rng)
         return out["pred_upper"], out["pred_hands"], out["output_latents"]
 
     # warmup / compile

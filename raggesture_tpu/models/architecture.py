@@ -646,6 +646,49 @@ class StagedGenerator:
 
         self._prep = jax.jit(prep, static_argnames=("shape",))
 
+        def sample_pipeline(p, batch, rng):
+            """Plain DDIM generation as ONE program: condition encoders ->
+            scale-func table + start noise -> 50-step sampling scan -> 4-part
+            VAE decode.
+
+            The staged path costs 4 host->device dispatches per clip (a full
+            tunnel round trip each on remote-TPU rigs); plain generation
+            (no retrieval / inversion / in_seq — the bench.py protocol and
+            the no-retrieval visualize path) needs none of the intermediate
+            host values, so it runs in a single dispatch.  The GT motion
+            encode (4 VAE encoders) is skipped entirely — plain sampling
+            needs only the token mask, which is a stride of the frame mask
+            (latent_motion_mask).  RNG splits mirror __call__, so outputs
+            match the staged path bit-for-bit for the same rng."""
+            r_noise, r_coef, r_loop = jax.random.split(rng, 3)
+            conds = model.apply(p, batch, method=model.encode_conditions)
+            token_mask = latent_motion_mask(cfg.denoiser,
+                                            batch["motion_mask"])
+            B = token_mask.shape[0]
+            T, D = cfg.denoiser.num_tokens, cfg.denoiser.latent_dim
+            coef_table, noise = prep(r_coef, r_noise, (B, T, D))
+            qm = default_query_masks(cfg.denoiser, B)
+            js = joint_scale_vector(cfg.denoiser, cfg.per_joint_scale)
+            model_fn = build_model_fn(p, conds, token_mask, qm, coef_table,
+                                      js, mixed=True)
+            out = S.ddim_sample_loop(model_fn, sched_test, noise, r_loop,
+                                     **self._common)
+            decoded = model.apply(p, out, method=model.decode_latents)
+            results = {f"pred_{k}": v for k, v in decoded.items()}
+            results["prev_latentout"] = out
+            results["output_latents"] = out
+            return results
+
+        self._sample_pipeline = jax.jit(sample_pipeline)
+
+    def sample(self, batch, rng):
+        """Single-dispatch plain generation (see sample_pipeline above).
+        Equivalent to ``self(batch, rng)`` with default InferenceOptions,
+        minus the gt_latents output (which requires the GT motion encode)."""
+        b = {k: batch[k] for k in ("word", "audio", "speaker_ids",
+                                   "motion_mask")}
+        return self._sample_pipeline(self.params, b, rng)
+
     def inversion_self_check(self, re_dict) -> Dict[str, jnp.ndarray]:
         """Numerical sanity check of the DDIM inversion round-trip
         (reference --visualize_inversion, diffusion_architecture.py:316-382):

@@ -186,6 +186,16 @@ def test_staged_generator_fused_matches_plain_on_cpu():
     np.testing.assert_allclose(np.asarray(out_f["output_latents"]),
                                np.asarray(out_p["output_latents"]),
                                atol=5e-4)
+    # the single-dispatch pipeline (sample) mirrors __call__'s rng splits,
+    # so for the same rng it reproduces the staged path exactly
+    out_s = fused.sample(batch, r)
+    np.testing.assert_allclose(np.asarray(out_s["output_latents"]),
+                               np.asarray(out_f["output_latents"]),
+                               atol=1e-6)
+    for k in out_s:
+        if k.startswith("pred_"):
+            np.testing.assert_allclose(np.asarray(out_s[k]),
+                                       np.asarray(out_f[k]), atol=1e-6)
 
 
 def test_merged_cross_block_kernel_matches_xla():
