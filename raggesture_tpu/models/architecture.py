@@ -473,7 +473,7 @@ class StagedGenerator:
 
     def __init__(self, model: MotionDiffusionModel, params,
                  sched_test: DiffusionSchedule, fused: bool = False,
-                 merged_ca: bool = False):
+                 merged_ca: bool = False, layer_kernel: bool = True):
         """``fused=True`` routes every denoiser call through the performance
         apply-path (models/fused_denoiser.py: Pallas self-attention kernel +
         stacked adaLN) — numerically equivalent, inference-only.
@@ -486,6 +486,7 @@ class StagedGenerator:
         self.sched = sched_test
         self.fused = fused
         self.merged_ca = merged_ca
+        self.layer_kernel = layer_kernel
         cfg = model.cfg
 
         self._encode = jax.jit(
@@ -540,6 +541,7 @@ class StagedGenerator:
             from .fused_denoiser import (
                 adaln_table,
                 fused_denoise_ctx,
+                pack_layers,
                 precompute_cross_contexts,
             )
 
@@ -560,6 +562,8 @@ class StagedGenerator:
                 cm2 = jnp.concatenate(
                     [jnp.ones((B, 1, 1)), jnp.zeros((B, 1, 1))], axis=0)
                 ctx = precompute_cross_contexts(pd, cfg.denoiser, conds2, cm2)
+                packs = pack_layers(pd, cfg.denoiser, ctx,
+                                    self.layer_kernel)
 
                 def model_fn(x, t_orig, step_idx):
                     Bx = x.shape[0]
@@ -567,19 +571,24 @@ class StagedGenerator:
                     t2 = jnp.concatenate([t_orig, t_orig], axis=0)
                     out = fused_denoise_ctx(p, cfg.denoiser, x2, t2, mask2,
                                             ctx, qm2, merged_ca=self.merged_ca,
-                                            adaln_row=table[step_idx])
+                                            adaln_row=table[step_idx],
+                                            layer_kernel=self.layer_kernel,
+                                            packed_layers=packs)
                     return mix_outputs(out, Bx, coef_table, step_idx, js)
 
                 return model_fn
 
             cm = jnp.ones((token_mask.shape[0], 1, 1))
             ctx = precompute_cross_contexts(pd, cfg.denoiser, conds, cm)
+            packs = pack_layers(pd, cfg.denoiser, ctx, self.layer_kernel)
 
             def model_fn(x, t_orig, step_idx):
                 return fused_denoise_ctx(p, cfg.denoiser, x, t_orig,
                                          token_mask, ctx, qm,
                                          merged_ca=self.merged_ca,
-                                         adaln_row=table[step_idx])
+                                         adaln_row=table[step_idx],
+                                         layer_kernel=self.layer_kernel,
+                                         packed_layers=packs)
 
             return model_fn
 

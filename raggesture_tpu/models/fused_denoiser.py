@@ -270,13 +270,12 @@ def cross_context(p_ca: Dict, xf: jnp.ndarray, cond_mask, num_heads: int
     H = num_heads
     k_sm = time_softmax_k(k.reshape(B, N, H, -1))
     ctx = jnp.einsum("bnhd,bnhl->bhdl", k_sm, v.reshape(B, N, H, -1))
-    # scatter per-head blocks onto the (D, D) block diagonal
-    Dh = D // H
-    full = jnp.zeros((B, D, D), xf.dtype)
-    for h in range(H):
-        full = full.at[:, h * Dh:(h + 1) * Dh, h * Dh:(h + 1) * Dh].set(
-            ctx[:, h])
-    return full
+    # place per-head blocks on the (D, D) block diagonal in one fused
+    # broadcast-multiply: full[b, h*Dh+d, h'*Dh+l] = ctx[b,h,d,l]·[h==h']
+    # ((B,H,Dh,H,Dh) has exactly D·D elements — no scatter ops)
+    eye = jnp.eye(H, dtype=ctx.dtype)
+    full = ctx[:, :, :, None, :] * eye[None, :, None, :, None]
+    return full.reshape(B, D, D)
 
 
 def precompute_cross_contexts(p: Dict, cfg: DenoiserConfig,
@@ -305,7 +304,8 @@ def cross_attention_cached_xla(p, x, ctx, scale, shift, query_mask,
     return x + _stylize(y, p["proj_out"], scale, shift)
 
 
-@partial(jax.jit, static_argnames=("cfg", "use_pallas", "merged_ca", "ffn_pallas"))
+@partial(jax.jit, static_argnames=("cfg", "use_pallas", "merged_ca",
+                                   "ffn_pallas", "layer_kernel"))
 def fused_denoise_ctx(
     params: Dict,
     cfg: DenoiserConfig,
@@ -318,13 +318,21 @@ def fused_denoise_ctx(
     merged_ca: bool = False,
     ffn_pallas: bool = False,
     adaln_row: jnp.ndarray = None,
+    layer_kernel: bool = False,
+    packed_layers: tuple = None,
 ) -> jnp.ndarray:
     """fused_denoise with cached cross-attention contexts (inference path:
     the conditions never change within a sampling run).
 
     ``adaln_row``: optional (n_slots·2D,) precomputed adaLN row for this
     step (see :func:`adaln_table`) — skips the in-loop time-embed MLP and
-    adaLN GEMM; valid whenever every batch element shares the same t."""
+    adaLN GEMM; valid whenever every batch element shares the same t.
+
+    ``layer_kernel``: run each whole DecoderLayer as ONE Pallas kernel
+    (ops/pallas/linear_attention_kernel.py::fused_decoder_layer) with the
+    batch folded into matmul rows; requires ``adaln_row``.  Pass
+    ``packed_layers`` (one pack_decoder_layer dict per layer, built once
+    outside the sampling scan) so no per-step operand marshaling remains."""
     use_pallas = use_pallas and jax.default_backend() == "tpu"
     p = params["params"]["denoiser"] if "denoiser" in params.get(
         "params", {}) else params["params"]
@@ -354,6 +362,7 @@ def fused_denoise_ctx(
     from ..ops.pallas.linear_attention_kernel import (
         fused_cross_attention_cached,
         fused_cross_block_cached,
+        fused_decoder_layer,
     )
 
     if use_pallas:
@@ -361,6 +370,35 @@ def fused_denoise_ctx(
             [jnp.ones((B, T)) if query_masks is None
              else query_masks[key].reshape(B, T) for key in COND_KEYS],
             axis=-1)
+
+    if use_pallas and layer_kernel:
+        assert adaln_row is not None, "layer_kernel requires adaln_row"
+        from ..ops.pallas.linear_attention_kernel import pack_decoder_layer
+
+        D = c.latent_dim
+        two_d = 2 * D
+        Tp = -(-T // 8) * 8
+        pad = Tp - T
+        h_rows = jnp.pad(h, ((0, 0), (0, pad), (0, 0))).reshape(B * Tp, D)
+        m_rows = jnp.pad(src_mask, ((0, 0), (0, pad), (0, 0))).reshape(
+            B * Tp, 1)
+        qm_rows = jnp.pad(qm3, ((0, 0), (0, pad), (0, 0))).reshape(B * Tp, 3)
+        if packed_layers is None:
+            packed_layers = tuple(
+                pack_decoder_layer(
+                    p[f"block_{i}"],
+                    jnp.stack([ctx_cache[(i, key)] for key in COND_KEYS],
+                              axis=1))
+                for i in range(c.num_layers))
+        for i in range(c.num_layers):
+            seg = adaln_row[i * 5 * two_d:(i + 1) * 5 * two_d].reshape(
+                5, two_d)
+            h_rows = fused_decoder_layer(
+                h_rows, m_rows, qm_rows, seg[:, :D], seg[:, D:],
+                packed_layers[i], num_heads=c.num_heads, ca_heads=c.ca_heads,
+                batch=B)
+        h = h_rows.reshape(B, Tp, D)[:, :T, :]
+        return _dense(h, p["out"])
 
     for i in range(c.num_layers):
         blk = p[f"block_{i}"]
@@ -413,3 +451,20 @@ def fused_denoise_ctx(
             h = ffn(blk["ffn"], h, s, sh)
 
     return _dense(h, p["out"])
+
+
+def pack_layers(pd: Dict, dcfg: DenoiserConfig, ctx_cache: Dict,
+                enabled: bool = True):
+    """Build the per-layer packed operand dicts for the layer-kernel path
+    (ONE call per sampling run, outside the scan — see
+    ops/pallas/linear_attention_kernel.py::pack_decoder_layer).  Returns
+    None when disabled or off-TPU (the kernel never runs there)."""
+    if not enabled or jax.default_backend() != "tpu":
+        return None
+    from ..ops.pallas.linear_attention_kernel import pack_decoder_layer
+
+    return tuple(
+        pack_decoder_layer(
+            pd[f"block_{i}"],
+            jnp.stack([ctx_cache[(i, key)] for key in COND_KEYS], axis=1))
+        for i in range(dcfg.num_layers))

@@ -498,6 +498,224 @@ def fused_cross_block_cached(
     return out[:, :T, :]
 
 
+def _erf_poly(v):
+    # Abramowitz-Stegun 7.1.26 (|err| < 1.5e-7, f32-exact); Mosaic has no erf
+    a1, a2, a3 = 0.254829592, -0.284496736, 1.421413741
+    a4, a5, pp = -1.453152027, 1.061405429, 0.3275911
+    sign = jnp.sign(v)
+    va = jnp.abs(v)
+    t = 1.0 / (1.0 + pp * va)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    return sign * (1.0 - poly * jnp.exp(-va * va))
+
+
+def pack_decoder_layer(layer_params: dict, ctx3: jnp.ndarray,
+                       bf16: bool = True) -> dict:
+    """Pack one DecoderLayer's parameters + cached cross-attention contexts
+    into FIVE arrays for :func:`fused_decoder_layer`.
+
+    54 separate kernel operands cost real per-step launch/copy overhead in
+    the sampling scan; packing (done ONCE per sampling run, outside the
+    scan) gets each kernel call down to 11 operands.
+
+    Layout:
+      vecs (31, D) f32 — every D-width bias/LN vector:
+        0-7   sa: ln_s, ln_b, bq, bk, bv, styl_ln_s, styl_ln_b, bo
+        8-25  per CA i (6 each): ln_s, ln_b, bq, styl_ln_s, styl_ln_b, bo
+        26    ca_mix bias
+        27-30 ffn: b2, styl_ln_s, styl_ln_b, bo
+      b1   (1, F) f32 — the one F-width bias (ffn linear1)
+      mats (14, D, D) — 0-3 sa wq/wk/wv/wo, 4-9 CA (wq, wo)x3,
+                        10-12 ca_mix thirds, 13 ffn stylization out
+      w1 (D, F), w2 (F, D)
+      ctx3 (B, 3, D, D) — cached contexts for this layer
+
+    mats/w1/w2/ctx3 are stored bf16 by default: Mosaic's default f32 matmul
+    rounds MXU inputs to bf16 anyway (verified bit-identical on v5e), so
+    this halves VMEM/bandwidth at zero numeric cost.
+    """
+    cd = jnp.bfloat16 if bf16 else jnp.float32
+    sa = layer_params["sa_block"]
+    cas = [layer_params[f"ca_xf_{k}"] for k in ("text", "audio", "spk")]
+    mix = layer_params["ca_mix"]
+    ffn = layer_params["ffn"]
+    D = jnp.asarray(sa["query"]["kernel"]).shape[0]
+
+    def styl(p):
+        return (p["proj_out"]["norm"]["scale"], p["proj_out"]["norm"]["bias"],
+                p["proj_out"]["out_proj"]["kernel"],
+                p["proj_out"]["out_proj"]["bias"])
+
+    sa_sn_s, sa_sn_b, sa_wo, sa_bo = styl(sa)
+    vec_list = [sa["norm"]["scale"], sa["norm"]["bias"],
+                sa["query"]["bias"], sa["key"]["bias"], sa["value"]["bias"],
+                sa_sn_s, sa_sn_b, sa_bo]
+    mat_list = [sa["query"]["kernel"], sa["key"]["kernel"],
+                sa["value"]["kernel"], sa_wo]
+    for p_ca in cas:
+        sn_s, sn_b, wo, bo = styl(p_ca)
+        vec_list += [p_ca["norm"]["scale"], p_ca["norm"]["bias"],
+                     p_ca["query"]["bias"], sn_s, sn_b, bo]
+        mat_list += [p_ca["query"]["kernel"], wo]
+    vec_list.append(mix["bias"])
+    wmix = jnp.asarray(mix["kernel"])
+    mat_list += [wmix[0 * D:1 * D], wmix[1 * D:2 * D], wmix[2 * D:3 * D]]
+    ffn_sn_s, ffn_sn_b, ffn_wo, ffn_bo = styl(ffn)
+    vec_list += [ffn["linear2"]["bias"], ffn_sn_s, ffn_sn_b, ffn_bo]
+    mat_list.append(ffn_wo)
+    return {
+        "vecs": jnp.stack([jnp.asarray(v, jnp.float32) for v in vec_list]),
+        "b1": jnp.asarray(ffn["linear1"]["bias"],
+                          jnp.float32).reshape(1, -1),
+        "mats": jnp.stack([jnp.asarray(m, cd) for m in mat_list]),
+        "w1": jnp.asarray(ffn["linear1"]["kernel"], cd),
+        "w2": jnp.asarray(ffn["linear2"]["kernel"], cd),
+        "ctx3": jnp.asarray(ctx3, cd),
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "ca_heads",
+                                             "batch", "interpret"))
+def fused_decoder_layer(
+    x: jnp.ndarray,           # (B*Tp, D) row-merged hidden states
+    src_mask: jnp.ndarray,    # (B*Tp, 1)
+    query_mask3: jnp.ndarray, # (B*Tp, 3)
+    scale5: jnp.ndarray,      # (5, D) adaLN scales (sa, 3 CAs, ffn) —
+    shift5: jnp.ndarray,      # (5, D) batch-uniform (precomputed adaLN table)
+    packed: dict,             # pack_decoder_layer output (params + ctx3)
+    num_heads: int = 16,
+    ca_heads: int = 16,
+    batch: int = 2,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """ONE Pallas kernel for an entire DecoderLayer sampling step:
+
+        self-attention -> 3 cached-context cross-attentions -> ca_mix -> FFN
+        (each with its adaLN stylization epilogue + residual)
+
+    vs the split path (1 sa kernel + 3 ca kernels + XLA mix/FFN fusions =
+    ~8 dispatches and ~10 HBM round-trips of h per layer), everything stays
+    in VMEM for the whole layer.  Two additional layout tricks on top of the
+    fused_self_attention ones:
+
+      * the batch dim folds into matmul ROWS ((B, Tp, D) -> (B*Tp, D)) so
+        every projection runs at B*Tp=96 rows instead of two 48-row passes;
+        the per-batch time softmax stays exact via a global column max
+        (any per-column constant cancels within a segment) with segment
+        sums from static row slices;
+      * parameters arrive packed (pack_decoder_layer): 11 operands per
+        call instead of 54, bf16 weight storage (numerically free — see
+        pack_decoder_layer).
+
+    Requires batch-uniform adaLN rows (every sampling loop shares t across
+    the batch — see fused_denoiser.adaln_table).
+    """
+    R, D = x.shape
+    Tp = R // batch
+    cd = packed["mats"].dtype
+
+    def kernel(x_ref, m_ref, qm_ref, sc_ref, sh_ref,
+               vecs, b1f, mats, w1, w2, ctx_ref, out_ref):
+        V = lambda j: vecs[j:j + 1, :]
+        M = lambda j: mats[j]
+
+        def mm(a, b):
+            return jnp.dot(a.astype(cd), b,
+                           preferred_element_type=jnp.float32)
+
+        def center(v):
+            mu = jnp.mean(v, axis=-1, keepdims=True)
+            var = jnp.mean((v - mu) ** 2, axis=-1, keepdims=True)
+            return (v - mu) * jax.lax.rsqrt(var + 1e-5)
+
+        def stylize(y, sn_s, sn_b, wo, bo, k):
+            h = center(y) * sn_s + sn_b
+            h = h * (1.0 + sc_ref[k:k + 1, :]) + sh_ref[k:k + 1, :]
+            h = h * jax.nn.sigmoid(h)
+            return mm(h, wo) + bo
+
+        xb = x_ref[:]                       # (R, D)
+        m = m_ref[:]                        # (R, 1)
+        Dh = D // num_heads
+        seg = _head_block_mask(D, Dh)
+        seg_ca = (seg if ca_heads == num_heads
+                  else _head_block_mask(D, D // ca_heads))
+
+        # ---- self attention ----
+        xn = center(xb) * V(0) + V(1)
+        q = mm(xn, M(0)) + V(2)
+        k = mm(xn, M(1)) + V(3) + (1.0 - m) * NEG_MASK
+        v = (mm(xn, M(2)) + V(4)) * m
+        qe = jnp.exp(q - jnp.max(q, axis=-1, keepdims=True))
+        q_sm = qe / mm(qe, seg.astype(cd))
+        # per-batch time softmax with a global column max (exact: any
+        # per-column constant cancels within each batch segment); segment
+        # sums via static row slices (f32, VPU)
+        ke = jnp.exp(k - jnp.max(k, axis=0, keepdims=True))
+        denom = jnp.concatenate(
+            [jnp.broadcast_to(
+                jnp.sum(ke[b * Tp:(b + 1) * Tp], axis=0, keepdims=True),
+                (Tp, D)) for b in range(batch)], axis=0)
+        k_sm = ke / denom
+        ys = []
+        for b in range(batch):
+            sl = slice(b * Tp, (b + 1) * Tp)
+            ctx = mm(k_sm[sl].T, v[sl].astype(cd)) * seg
+            ys.append(mm(q_sm[sl], ctx.astype(cd)))
+        y = jnp.concatenate(ys, axis=0)
+        h1 = xb + stylize(y, V(5), V(6), M(3), V(7), 0)
+
+        # ---- 3 cached-context cross attentions + ca_mix ----
+        hc = center(h1)
+        acc = None
+        for i in range(3):
+            base = 8 + 6 * i
+            xn = hc * V(base) + V(base + 1)
+            q = mm(xn, M(4 + 2 * i)) + V(base + 2)
+            qe = jnp.exp(q - jnp.max(q, axis=-1, keepdims=True))
+            q_sm = qe / mm(qe, seg_ca.astype(cd))
+            ys = []
+            for b in range(batch):
+                sl = slice(b * Tp, (b + 1) * Tp)
+                ys.append(mm(q_sm[sl], ctx_ref[b, i]))
+            y = jnp.concatenate(ys, axis=0)
+            y = y + (1.0 - qm_ref[:, i:i + 1]) * NEG_MASK
+            o_i = h1 + stylize(y, V(base + 3), V(base + 4), M(5 + 2 * i),
+                               V(base + 5), 1 + i)
+            term = mm(o_i, M(10 + i))
+            acc = term if acc is None else acc + term
+        h2 = acc + V(26)
+
+        # ---- FFN ----
+        y = mm(h2, w1[:]) + b1f[:]
+        y = y * 0.5 * (1.0 + _erf_poly(y * 0.7071067811865476))
+        y = mm(y, w2[:]) + V(27)
+        out_ref[:] = h2 + stylize(y, V(28), V(29), M(13), V(30), 4)
+
+    F = packed["w1"].shape[1]
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((R, D), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 11,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            # 12 (R,D,D) contractions + ffn (R,D,F)x2, + sa ctx/y per batch
+            flops=2 * R * D * (12 * D + 2 * F) + 2 * batch * 2 * Tp * D * D,
+            bytes_accessed=(2 * R * D * 4 + (14 * D * D + 2 * D * F
+                            + batch * 3 * D * D) * packed["mats"].dtype.itemsize),
+            transcendentals=R * (6 * D + 2 * F),
+        ),
+    )(
+        x.astype(jnp.float32), src_mask.astype(jnp.float32),
+        query_mask3.astype(jnp.float32),
+        scale5.astype(jnp.float32), shift5.astype(jnp.float32),
+        packed["vecs"], packed["b1"], packed["mats"],
+        packed["w1"], packed["w2"], packed["ctx3"],
+    )
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def fused_ffn(
     x: jnp.ndarray,          # (B, T, D)
@@ -518,23 +736,12 @@ def fused_ffn(
     F = l1["kernel"].shape[1]
     row = lambda a: jnp.asarray(a, jnp.float32).reshape(1, -1)
 
-    def erf_poly(v):
-        # Abramowitz–Stegun 7.1.26 rational approximation (|err| < 1.5e-7,
-        # i.e. float32-exact) — Mosaic has no erf lowering
-        a1, a2, a3 = 0.254829592, -0.284496736, 1.421413741
-        a4, a5, pp = -1.453152027, 1.061405429, 0.3275911
-        sign = jnp.sign(v)
-        va = jnp.abs(v)
-        t = 1.0 / (1.0 + pp * va)
-        poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
-        return sign * (1.0 - poly * jnp.exp(-va * va))
-
     def kernel(x_ref, scale_ref, shift_ref, w1, b1, w2, b2,
                sn_s, sn_b, wo, bo, out_ref):
         xb = x_ref[0]
         y = jnp.dot(xb, w1[:], preferred_element_type=jnp.float32) + b1[:]
         # exact-GELU semantics, matching nn.gelu(approximate=False)
-        y = y * 0.5 * (1.0 + erf_poly(y * 0.7071067811865476))
+        y = y * 0.5 * (1.0 + _erf_poly(y * 0.7071067811865476))
         y = jnp.dot(y, w2[:], preferred_element_type=jnp.float32) + b2[:]
         ymu = jnp.mean(y, axis=-1, keepdims=True)
         yvar = jnp.mean((y - ymu) ** 2, axis=-1, keepdims=True)

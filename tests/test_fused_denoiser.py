@@ -276,3 +276,63 @@ def test_fused_paths_with_distinct_ca_heads():
     # not a no-op): compare against the ca_heads=4 output
     ref4 = den.apply(params, x, t, mask, conds, qm, cm)
     assert float(np.abs(np.asarray(ref - ref4))[valid].max()) > 1e-4
+
+
+def test_fused_decoder_layer_kernel_matches_xla():
+    """fused_decoder_layer (one kernel per layer, batch folded into rows,
+    interpret mode) == sa + 3 cached CAs + ca_mix + FFN via the XLA twins."""
+    from raggesture_tpu.models.denoiser import COND_KEYS
+    from raggesture_tpu.models.fused_denoiser import (
+        STYL_SLOTS,
+        _dense,
+        cross_attention_cached_xla,
+        ffn,
+        precompute_cross_contexts,
+        self_attention_xla,
+    )
+    from raggesture_tpu.ops.pallas.linear_attention_kernel import (
+        fused_decoder_layer,
+        pack_decoder_layer,
+    )
+
+    cfg, den, params, (x, t, mask, word, audio, spk) = _setup()
+    B, T, D = x.shape
+    conds = den.apply(params, word, audio, spk, method=den.encode_conditions)
+    qm = default_query_masks(cfg, B)
+    cm = jnp.ones((B, 1, 1))
+    p = params["params"]
+    ctx = precompute_cross_contexts(p, cfg, conds, cm)
+    # batch-uniform adaLN (the layer kernel's contract: shared t per step)
+    emb = jnp.broadcast_to(
+        jnp.asarray(np.random.RandomState(9).randn(1, cfg.time_embed_dim),
+                    jnp.float32), (B, cfg.time_embed_dim))
+    adaln = stacked_adaln(p, emb, cfg.num_layers)
+    blk = p["block_0"]
+    src_mask = mask[..., None]
+
+    h1 = self_attention_xla(blk["sa_block"], x, src_mask,
+                            *adaln[(0, "sa")], cfg.num_heads)
+    outs = [cross_attention_cached_xla(
+        blk[f"ca_{k}"], h1, ctx[(0, k)], *adaln[(0, k)], qm[k], cfg.ca_heads)
+        for k in COND_KEYS]
+    h2 = _dense(jnp.concatenate(outs, axis=-1), blk["ca_mix"])
+    ref = ffn(blk["ffn"], h2, *adaln[(0, "ffn")])
+
+    Tp = -(-T // 8) * 8
+    pad = Tp - T
+    rows = lambda a: jnp.pad(a, ((0, 0), (0, pad), (0, 0))).reshape(
+        B * Tp, a.shape[-1])
+    qm3 = jnp.stack([qm[k] for k in COND_KEYS], axis=-1)
+    packed = pack_decoder_layer(
+        blk, jnp.stack([ctx[(0, k)] for k in COND_KEYS], axis=1),
+        bf16=False)
+    out = fused_decoder_layer(
+        rows(x), rows(src_mask), rows(qm3),
+        jnp.stack([adaln[(0, s)][0][0] for s in STYL_SLOTS]),
+        jnp.stack([adaln[(0, s)][1][0] for s in STYL_SLOTS]),
+        packed, num_heads=cfg.num_heads, ca_heads=cfg.ca_heads, batch=B,
+        interpret=True)
+    out = out.reshape(B, Tp, D)[:, :T]
+    valid = np.asarray(mask) > 0
+    np.testing.assert_allclose(np.asarray(out)[valid], np.asarray(ref)[valid],
+                               atol=3e-5)
