@@ -609,10 +609,20 @@ def fused_decoder_layer(
 
     Requires batch-uniform adaLN rows (every sampling loop shares t across
     the batch — see fused_denoiser.adaln_table).
+
+    Scales to any batch at CONSTANT VMEM: the grid iterates over batch
+    PAIRS — the packed weights use a constant index map (fetched once,
+    VMEM-resident across grid steps) while activations and the (2,3,D,D)
+    context slab stream per pair (~12.5 MB total, under the 16 MB/core
+    VMEM budget regardless of B).
     """
     R, D = x.shape
     Tp = R // batch
     cd = packed["mats"].dtype
+    # batch elements per grid step: pairs when possible, singles for odd B
+    bpb = 2 if batch % 2 == 0 else 1
+    grid = batch // bpb
+    Rb = bpb * Tp
 
     def kernel(x_ref, m_ref, qm_ref, sc_ref, sh_ref,
                vecs, b1f, mats, w1, w2, ctx_ref, out_ref):
@@ -655,10 +665,10 @@ def fused_decoder_layer(
         denom = jnp.concatenate(
             [jnp.broadcast_to(
                 jnp.sum(ke[b * Tp:(b + 1) * Tp], axis=0, keepdims=True),
-                (Tp, D)) for b in range(batch)], axis=0)
+                (Tp, D)) for b in range(bpb)], axis=0)
         k_sm = ke / denom
         ys = []
-        for b in range(batch):
+        for b in range(bpb):
             sl = slice(b * Tp, (b + 1) * Tp)
             ctx = mm(k_sm[sl].T, v[sl].astype(cd)) * seg
             ys.append(mm(q_sm[sl], ctx.astype(cd)))
@@ -675,7 +685,7 @@ def fused_decoder_layer(
             qe = jnp.exp(q - jnp.max(q, axis=-1, keepdims=True))
             q_sm = qe / mm(qe, seg_ca.astype(cd))
             ys = []
-            for b in range(batch):
+            for b in range(bpb):
                 sl = slice(b * Tp, (b + 1) * Tp)
                 ys.append(mm(q_sm[sl], ctx_ref[b, i]))
             y = jnp.concatenate(ys, axis=0)
@@ -693,11 +703,39 @@ def fused_decoder_layer(
         out_ref[:] = h2 + stylize(y, V(28), V(29), M(13), V(30), 4)
 
     F = packed["w1"].shape[1]
+    full_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    if grid == 1:
+        # single pair: plain full-VMEM blocks (no windowing machinery —
+        # measured ~2 ms/scan cheaper than a 1-step grid at B=2)
+        grid_spec = pl.GridSpec(in_specs=[full_spec] * 11,
+                                out_specs=full_spec)
+    else:
+        rows_spec = lambda w: pl.BlockSpec((Rb, w), lambda g: (g, 0),
+                                           memory_space=pltpu.VMEM)
+        grid_spec = pl.GridSpec(
+            grid=(grid,),
+            in_specs=[
+                rows_spec(D), rows_spec(1), rows_spec(3),
+                full_spec, full_spec,                    # scale5 / shift5
+                full_spec, full_spec, full_spec,         # vecs / b1 / mats
+                full_spec, full_spec,                    # w1 / w2
+                pl.BlockSpec((bpb, 3, D, D), lambda g: (g, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=rows_spec(D),
+        )
+    # resident packed weights (~9 MB) + double-buffered streamed blocks
+    # exceed Mosaic's default 16 MB scoped-vmem limit at larger batches;
+    # v5e has headroom above the default soft limit (single-pair calls fit
+    # and keep the default — raising it perturbs Mosaic's scheduling)
+    extra = {} if grid == 1 else dict(
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024))
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((R, D), jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 11,
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        grid_spec=grid_spec,
+        **extra,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             # 12 (R,D,D) contractions + ffn (R,D,F)x2, + sa ctx/y per batch

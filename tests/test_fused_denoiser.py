@@ -336,3 +336,60 @@ def test_fused_decoder_layer_kernel_matches_xla():
     valid = np.asarray(mask) > 0
     np.testing.assert_allclose(np.asarray(out)[valid], np.asarray(ref)[valid],
                                atol=3e-5)
+
+
+def test_fused_decoder_layer_kernel_grid_over_pairs():
+    """B=4 (grid of two batch pairs, streamed contexts) == two independent
+    B=2 kernel calls."""
+    from raggesture_tpu.models.denoiser import COND_KEYS
+    from raggesture_tpu.models.fused_denoiser import (
+        STYL_SLOTS,
+        precompute_cross_contexts,
+    )
+    from raggesture_tpu.ops.pallas.linear_attention_kernel import (
+        fused_decoder_layer,
+        pack_decoder_layer,
+    )
+
+    cfg, den, params, (x, t, mask, word, audio, spk) = _setup()
+    B, T, D = x.shape
+    conds = den.apply(params, word, audio, spk, method=den.encode_conditions)
+    qm = default_query_masks(cfg, B)
+    p = params["params"]
+    ctx = precompute_cross_contexts(p, cfg, conds, jnp.ones((B, 1, 1)))
+    emb = jnp.broadcast_to(
+        jnp.asarray(np.random.RandomState(9).randn(1, cfg.time_embed_dim),
+                    jnp.float32), (B, cfg.time_embed_dim))
+    adaln = stacked_adaln(p, emb, cfg.num_layers)
+    blk = p["block_0"]
+    src_mask = mask[..., None]
+    Tp = -(-T // 8) * 8
+    pad = Tp - T
+    rows = lambda a: jnp.pad(a, ((0, 0), (0, pad), (0, 0))).reshape(
+        a.shape[0] * Tp, a.shape[-1])
+    qm3 = jnp.stack([qm[k] for k in COND_KEYS], axis=-1)
+    ctx3 = jnp.stack([ctx[(0, k)] for k in COND_KEYS], axis=1)
+    scale5 = jnp.stack([adaln[(0, s)][0][0] for s in STYL_SLOTS])
+    shift5 = jnp.stack([adaln[(0, s)][1][0] for s in STYL_SLOTS])
+
+    packed2 = pack_decoder_layer(blk, ctx3, bf16=False)
+    out2 = fused_decoder_layer(
+        rows(x), rows(src_mask), rows(qm3), scale5, shift5, packed2,
+        num_heads=cfg.num_heads, ca_heads=cfg.ca_heads, batch=B,
+        interpret=True)
+
+    # second pair: reversed batch order so the streamed contexts differ
+    x4 = jnp.concatenate([x, x[::-1]], axis=0)
+    sm4 = jnp.concatenate([src_mask, src_mask[::-1]], axis=0)
+    qm4 = jnp.concatenate([qm3, qm3[::-1]], axis=0)
+    ctx34 = jnp.concatenate([ctx3, ctx3[::-1]], axis=0)
+    packed4 = pack_decoder_layer(blk, ctx34, bf16=False)
+    out4 = fused_decoder_layer(
+        rows(x4), rows(sm4), rows(qm4), scale5, shift5, packed4,
+        num_heads=cfg.num_heads, ca_heads=cfg.ca_heads, batch=2 * B,
+        interpret=True)
+
+    o2 = np.asarray(out2).reshape(B, Tp, D)
+    o4 = np.asarray(out4).reshape(2 * B, Tp, D)
+    np.testing.assert_allclose(o4[:B], o2, atol=1e-6)
+    np.testing.assert_allclose(o4[B:], o2[::-1], atol=1e-6)
