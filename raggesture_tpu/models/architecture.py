@@ -830,36 +830,46 @@ def splice_inverted(dcfg: DenoiserConfig, sched, start_noise, inv_stack,
     (diffusion_architecture.py:386-420).
 
     splice: (Q, 4) int32 rows (batch_idx, q_start, r_start, length) in latent
-    token units; length <= tokens_per_part.  Host-side (concrete) loop over
-    Q — the window placement is data layout, not compute."""
-    L = dcfg.tokens_per_part
-    S_steps = inv_stack.shape[0]
-    B, T, D = start_noise.shape
-    start_latents = inv_stack[inversion_start_time]  # (Q, T, D)
-
+    token units; length <= tokens_per_part.  The window placement is pure
+    data layout over CONCRETE host values, so the (b, t) -> source-token
+    index map is built in numpy and applied as ONE jitted gather — the
+    previous per-window dynamic_slice/update chain dispatched ~8 device ops
+    per query (a full host->device round trip each on remote-TPU rigs,
+    dominating guided-mode latency)."""
     import numpy as np
 
+    L = dcfg.tokens_per_part
+    B, T, _ = start_noise.shape
     splice_np = np.asarray(splice)
-    inv_all = (
-        jnp.zeros((S_steps, B, T, D), start_noise.dtype) if with_guidance else None
-    )
-
+    # (B, T) map: flat (q*T + t') source index into the exemplar latents,
+    # -1 = keep the original noise row.  Later queries overwrite earlier
+    # ones, matching the reference's sequential splice.
+    src_idx = np.full((B, T), -1, np.int64)
     for q in range(splice_np.shape[0]):
         b, q_start, r_start, ln = (int(v) for v in splice_np[q])
         if ln <= 0:
             continue
         for off in (0, L + 1):  # upper row, hands row
-            src = jax.lax.dynamic_slice(
-                start_latents[q], (off + r_start, 0), (ln, D)
-            )
-            start_noise = jax.lax.dynamic_update_slice(
-                start_noise, src[None], (b, off + q_start, 0)
-            )
-            if with_guidance:
-                seg = jax.lax.dynamic_slice(
-                    inv_stack[:, q], (0, off + r_start, 0), (S_steps, ln, D)
-                )
-                inv_all = jax.lax.dynamic_update_slice(
-                    inv_all, seg[:, None], (0, b, off + q_start, 0)
-                )
+            cols = np.arange(ln)
+            src_idx[b, off + q_start + cols] = q * T + off + r_start + cols
+    keep = src_idx < 0
+    gather = jnp.asarray(np.where(keep, 0, src_idx).reshape(-1), jnp.int32)
+    mask = jnp.asarray(~keep, start_noise.dtype)
+    return _splice_apply(start_noise, inv_stack, gather, mask,
+                         int(inversion_start_time), bool(with_guidance))
+
+
+@partial(jax.jit, static_argnames=("inversion_start_time", "with_guidance"))
+def _splice_apply(start_noise, inv_stack, gather, mask,
+                  inversion_start_time, with_guidance):
+    S_steps = inv_stack.shape[0]
+    B, T, D = start_noise.shape
+    m = mask[..., None]                                   # (B, T, 1)
+    start_latents = inv_stack[inversion_start_time].reshape(-1, D)
+    spliced = start_latents[gather].reshape(B, T, D)
+    start_noise = start_noise * (1.0 - m) + spliced * m
+    if not with_guidance:
+        return start_noise, None
+    flat = inv_stack.reshape(S_steps, -1, D)
+    inv_all = flat[:, gather].reshape(S_steps, B, T, D) * m[None]
     return start_noise, inv_all

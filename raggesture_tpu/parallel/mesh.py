@@ -68,7 +68,10 @@ def sharded_sampler(gen, mesh: Mesh, axis_name: str = DATA_AXIS):
     The rng is replicated; per-device noise divergence comes from the
     sharded start noise (and eta=0 DDIM consumes no in-loop randomness).
     """
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map  # jax >= 0.8
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
 
     def fn(params, noise, rng, conds, token_mask, coef_table, js):
         in_seq = jnp.zeros_like(noise)
@@ -78,10 +81,15 @@ def sharded_sampler(gen, mesh: Mesh, axis_name: str = DATA_AXIS):
 
     rep = P()
     bat = P(axis_name)
+    import inspect
+
+    # jax >= 0.8 renamed check_rep -> check_vma
+    flag = ("check_vma" if "check_vma" in
+            inspect.signature(shard_map).parameters else "check_rep")
     sm = shard_map(
         fn, mesh=mesh,
         in_specs=(rep, bat, rep, bat, bat, rep, rep),
         out_specs=bat,
-        check_rep=False,
+        **{flag: False},
     )
     return jax.jit(sm)
