@@ -477,16 +477,20 @@ class StagedGenerator:
         """``fused=True`` routes every denoiser call through the performance
         apply-path (models/fused_denoiser.py: Pallas self-attention kernel +
         stacked adaLN) — numerically equivalent, inference-only.
-        ``merged_ca=True`` additionally runs each layer's three cached-context
+        ``merged_ca=True`` runs each layer's three cached-context
         cross-attentions + ca_mix as ONE Pallas kernel — measured ~10% slower
         than three separate kernels on v5e (26.1 vs 23.7 ms per 50-step scan),
-        kept as an option for other shapes."""
+        kept as an option for other shapes; it disables the (default)
+        ``layer_kernel`` path, which would otherwise take precedence and
+        never reach the merged-CA kernel."""
         self.model = model
         self.params = params
         self.sched = sched_test
         self.fused = fused
         self.merged_ca = merged_ca
-        self.layer_kernel = layer_kernel
+        # an explicitly-requested merged_ca wins over the default-on
+        # layer kernel (fused_denoise_ctx checks layer_kernel first)
+        self.layer_kernel = layer_kernel and not merged_ca
         cfg = model.cfg
 
         self._encode = jax.jit(
@@ -849,6 +853,13 @@ def splice_inverted(dcfg: DenoiserConfig, sched, start_noise, inv_stack,
         b, q_start, r_start, ln = (int(v) for v in splice_np[q])
         if ln <= 0:
             continue
+        if (b < 0 or b >= B or q_start < 0 or r_start < 0
+                or q_start + ln > L or r_start + ln > L):
+            # numpy would silently wrap negative offsets into other rows;
+            # reject contract-violating retrieval output instead
+            raise ValueError(
+                f"splice row {q} out of range: (b={b}, q_start={q_start}, "
+                f"r_start={r_start}, len={ln}) for L={L}, B={B}")
         for off in (0, L + 1):  # upper row, hands row
             cols = np.arange(ln)
             src_idx[b, off + q_start + cols] = q * T + off + r_start + cols

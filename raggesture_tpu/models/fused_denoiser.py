@@ -348,17 +348,6 @@ def fused_denoise_ctx(
     h = h + pos_cat[None, :T, :]
     h = h + jnp.asarray(p["global_positional_embedding"]["pe"])[None, :T, :]
 
-    if adaln_row is not None:
-        # one precomputed (n_slots*2D,) row, shared across the batch
-        adaln = _split_adaln(
-            jnp.broadcast_to(adaln_row[None, :], (B, adaln_row.shape[-1])),
-            2 * c.latent_dim, c.num_layers)
-    else:
-        emb = timestep_embedding(t_orig, c.latent_dim)
-        emb = _dense(jax.nn.silu(_dense(emb, p["time_embed_1"])),
-                     p["time_embed_2"])
-        adaln = stacked_adaln(p, emb, c.num_layers)
-
     from ..ops.pallas.linear_attention_kernel import (
         fused_cross_attention_cached,
         fused_cross_block_cached,
@@ -373,8 +362,6 @@ def fused_denoise_ctx(
 
     if use_pallas and layer_kernel:
         assert adaln_row is not None, "layer_kernel requires adaln_row"
-        from ..ops.pallas.linear_attention_kernel import pack_decoder_layer
-
         D = c.latent_dim
         two_d = 2 * D
         Tp = -(-T // 8) * 8
@@ -384,12 +371,7 @@ def fused_denoise_ctx(
             B * Tp, 1)
         qm_rows = jnp.pad(qm3, ((0, 0), (0, pad), (0, 0))).reshape(B * Tp, 3)
         if packed_layers is None:
-            packed_layers = tuple(
-                pack_decoder_layer(
-                    p[f"block_{i}"],
-                    jnp.stack([ctx_cache[(i, key)] for key in COND_KEYS],
-                              axis=1))
-                for i in range(c.num_layers))
+            packed_layers = pack_layers(p, c, ctx_cache)
         for i in range(c.num_layers):
             seg = adaln_row[i * 5 * two_d:(i + 1) * 5 * two_d].reshape(
                 5, two_d)
@@ -399,6 +381,17 @@ def fused_denoise_ctx(
                 batch=B)
         h = h_rows.reshape(B, Tp, D)[:, :T, :]
         return _dense(h, p["out"])
+
+    if adaln_row is not None:
+        # one precomputed (n_slots*2D,) row, shared across the batch
+        adaln = _split_adaln(
+            jnp.broadcast_to(adaln_row[None, :], (B, adaln_row.shape[-1])),
+            2 * c.latent_dim, c.num_layers)
+    else:
+        emb = timestep_embedding(t_orig, c.latent_dim)
+        emb = _dense(jax.nn.silu(_dense(emb, p["time_embed_1"])),
+                     p["time_embed_2"])
+        adaln = stacked_adaln(p, emb, c.num_layers)
 
     for i in range(c.num_layers):
         blk = p[f"block_{i}"]

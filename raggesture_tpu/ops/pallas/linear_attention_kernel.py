@@ -658,15 +658,17 @@ def fused_decoder_layer(
         v = (mm(xn, M(2)) + V(4)) * m
         qe = jnp.exp(q - jnp.max(q, axis=-1, keepdims=True))
         q_sm = qe / mm(qe, seg.astype(cd))
-        # per-batch time softmax with a global column max (exact: any
-        # per-column constant cancels within each batch segment); segment
-        # sums via static row slices (f32, VPU)
-        ke = jnp.exp(k - jnp.max(k, axis=0, keepdims=True))
-        denom = jnp.concatenate(
+        # per-batch time softmax via per-SEGMENT column maxes and sums
+        # (static row slices, f32 VPU).  A global max would be exact in
+        # real arithmetic but underflows a segment to 0/0 NaN when its
+        # logits sit far below its pair partner's (e.g. a fully-padded
+        # clip whose keys are all -1e6)
+        per_seg = lambda red, v: jnp.concatenate(
             [jnp.broadcast_to(
-                jnp.sum(ke[b * Tp:(b + 1) * Tp], axis=0, keepdims=True),
+                red(v[b * Tp:(b + 1) * Tp], axis=0, keepdims=True),
                 (Tp, D)) for b in range(bpb)], axis=0)
-        k_sm = ke / denom
+        ke = jnp.exp(k - per_seg(jnp.max, k))
+        k_sm = ke / per_seg(jnp.sum, ke)
         ys = []
         for b in range(bpb):
             sl = slice(b * Tp, (b + 1) * Tp)

