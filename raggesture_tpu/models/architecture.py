@@ -694,6 +694,49 @@ class StagedGenerator:
 
         self._sample_pipeline = jax.jit(sample_pipeline)
 
+        def guided_pipeline(p, core, inv_lat, inv_mask, inv_core, gather,
+                            smask, gi, lr, rng, inversion_start_time):
+            """Inversion + splice + insertion-guided DDIM + decode as ONE
+            program (the common retrieval-guided configuration: no
+            outpaint / prev-latent).  The staged path pays ~7 host->device
+            dispatches per clip; this pays 1.  The splice gather/mask index
+            maps arrive precomputed (host data — see splice_inverted).
+            RNG splits mirror __call__."""
+            r_noise, r_coef, r_loop = jax.random.split(rng, 3)
+            conds = model.apply(p, core, method=model.encode_conditions)
+            token_mask = latent_motion_mask(cfg.denoiser,
+                                            core["motion_mask"])
+            B = token_mask.shape[0]
+            T, D = cfg.denoiser.num_tokens, cfg.denoiser.latent_dim
+            coef_table, noise = prep(r_coef, r_noise, (B, T, D))
+            inv_conds = model.apply(p, inv_core,
+                                    method=model.encode_conditions)
+            qm_inv = default_query_masks(cfg.denoiser, inv_lat.shape[0])
+            mf_inv = build_model_fn(p, inv_conds, inv_mask, qm_inv, None,
+                                    None, mixed=False)
+            inv_stack = S.ddim_reverse_sample_loop(
+                mf_inv, sched_test, inv_lat, return_all_timesteps=True,
+                **self._common)
+            start_noise, inv_all = _splice_apply(
+                noise, inv_stack, gather, smask, inversion_start_time, True)
+            qm = default_query_masks(cfg.denoiser, B)
+            js = joint_scale_vector(cfg.denoiser, cfg.per_joint_scale)
+            mf = build_model_fn(p, conds, token_mask, qm, coef_table, js,
+                                mixed=True)
+            out = S.ddim_guided_sample_loop(
+                mf, sched_test, start_noise, r_loop,
+                inverted_latents=inv_all, guidance_iters=gi,
+                guidance_lr=lr, init_in_seq=jnp.zeros_like(start_noise),
+                **self._common)
+            decoded = model.apply(p, out, method=model.decode_latents)
+            results = {f"pred_{k}": v for k, v in decoded.items()}
+            results["prev_latentout"] = out
+            results["output_latents"] = out
+            return results
+
+        self._guided_pipeline = jax.jit(
+            guided_pipeline, static_argnames=("inversion_start_time",))
+
     def sample(self, batch, rng):
         """Single-dispatch plain generation (see sample_pipeline above).
         Equivalent to ``self(batch, rng)`` with default InferenceOptions,
@@ -736,6 +779,32 @@ class StagedGenerator:
         cfg = self.model.cfg
         dcfg = cfg.denoiser
         p = self.params
+
+        if (opts.use_inversion and opts.insertion_guidance
+                and not opts.outpaint
+                and not (opts.use_prev_latent and prev_latent is not None)):
+            # the common retrieval-guided configuration runs as ONE
+            # program (see guided_pipeline); other option combinations
+            # keep the general staged path below
+            gi = guidance_iters if guidance_iters is not None else \
+                guidance_iters_schedule("constant", self.sched.num_timesteps)
+            core = {k: batch[k] for k in ("word", "audio", "speaker_ids",
+                                          "motion_mask")}
+            inv_core = {
+                "word": jnp.asarray(re_dict["inv_conds"]["word"]),
+                "audio": jnp.asarray(re_dict["inv_conds"]["audio"]),
+                "speaker_ids": jnp.asarray(
+                    re_dict["inv_conds"]["speaker_ids"]),
+            }
+            B = jnp.asarray(batch["motion_mask"]).shape[0]
+            gather, smask = splice_maps(dcfg, re_dict["splice"], B,
+                                        dcfg.num_tokens)
+            return self._guided_pipeline(
+                p, core, jnp.asarray(re_dict["inv_latents"]),
+                jnp.asarray(re_dict["inv_mask"]), inv_core, gather, smask,
+                jnp.asarray(gi), opts.guidance_lr, rng,
+                inversion_start_time=int(opts.inversion_start_time))
+
         r_noise, r_coef, r_loop = jax.random.split(rng, 3)
 
         z_gt, token_mask, conds = self._encode_and_conds(
@@ -840,10 +909,17 @@ def splice_inverted(dcfg: DenoiserConfig, sched, start_noise, inv_stack,
     previous per-window dynamic_slice/update chain dispatched ~8 device ops
     per query (a full host->device round trip each on remote-TPU rigs,
     dominating guided-mode latency)."""
+    gather, mask = splice_maps(dcfg, splice, *start_noise.shape[:2])
+    return _splice_apply(start_noise, inv_stack, gather, mask,
+                         int(inversion_start_time), bool(with_guidance))
+
+
+def splice_maps(dcfg: DenoiserConfig, splice, B: int, T: int):
+    """Host-side (B·T,) gather index + (B, T) write mask for the latent
+    window splice (see splice_inverted)."""
     import numpy as np
 
     L = dcfg.tokens_per_part
-    B, T, _ = start_noise.shape
     splice_np = np.asarray(splice)
     # (B, T) map: flat (q*T + t') source index into the exemplar latents,
     # -1 = keep the original noise row.  Later queries overwrite earlier
@@ -865,9 +941,8 @@ def splice_inverted(dcfg: DenoiserConfig, sched, start_noise, inv_stack,
             src_idx[b, off + q_start + cols] = q * T + off + r_start + cols
     keep = src_idx < 0
     gather = jnp.asarray(np.where(keep, 0, src_idx).reshape(-1), jnp.int32)
-    mask = jnp.asarray(~keep, start_noise.dtype)
-    return _splice_apply(start_noise, inv_stack, gather, mask,
-                         int(inversion_start_time), bool(with_guidance))
+    mask = jnp.asarray(~keep, jnp.float32)
+    return gather, mask
 
 
 @partial(jax.jit, static_argnames=("inversion_start_time", "with_guidance"))
