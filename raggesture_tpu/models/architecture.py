@@ -694,6 +694,30 @@ class StagedGenerator:
 
         self._sample_pipeline = jax.jit(sample_pipeline)
 
+        def sample_inseq_pipeline(p, batch, rng, in_seq):
+            """sample_pipeline with the in_seq q-sample overwrite (outpaint
+            / prev-latent long-form handoff) — one dispatch per chunk."""
+            r_noise, r_coef, r_loop = jax.random.split(rng, 3)
+            conds = model.apply(p, batch, method=model.encode_conditions)
+            token_mask = latent_motion_mask(cfg.denoiser,
+                                            batch["motion_mask"])
+            B = token_mask.shape[0]
+            T, D = cfg.denoiser.num_tokens, cfg.denoiser.latent_dim
+            coef_table, noise = prep(r_coef, r_noise, (B, T, D))
+            qm = default_query_masks(cfg.denoiser, B)
+            js = joint_scale_vector(cfg.denoiser, cfg.per_joint_scale)
+            model_fn = build_model_fn(p, conds, token_mask, qm, coef_table,
+                                      js, mixed=True)
+            out = S.ddim_sample_loop(model_fn, sched_test, noise, r_loop,
+                                     in_seq=in_seq, **self._common)
+            decoded = model.apply(p, out, method=model.decode_latents)
+            results = {f"pred_{k}": v for k, v in decoded.items()}
+            results["prev_latentout"] = out
+            results["output_latents"] = out
+            return results
+
+        self._sample_inseq_pipeline = jax.jit(sample_inseq_pipeline)
+
         def guided_pipeline(p, core, inv_lat, inv_mask, inv_core, gather,
                             smask, gi, lr, rng, inversion_start_time):
             """Inversion + splice + insertion-guided DDIM + decode as ONE
@@ -804,6 +828,20 @@ class StagedGenerator:
                 jnp.asarray(re_dict["inv_mask"]), inv_core, gather, smask,
                 jnp.asarray(gi), opts.guidance_lr, rng,
                 inversion_start_time=int(opts.inversion_start_time))
+
+        if not opts.use_inversion and not opts.insertion_guidance:
+            # plain / outpaint / prev-latent generation without inversion:
+            # also one dispatch (sample_pipeline variants)
+            core = {k: batch[k] for k in ("word", "audio", "speaker_ids",
+                                          "motion_mask")}
+            if opts.use_prev_latent and prev_latent is not None:
+                in_seq = masked_prev_latent(dcfg, prev_latent)
+            elif opts.outpaint:
+                rml = jnp.asarray(re_dict["raw_motion_latents"])
+                in_seq = rml[:, 0] if rml.ndim == 4 else rml
+            else:
+                return self._sample_pipeline(p, core, rng)
+            return self._sample_inseq_pipeline(p, core, rng, in_seq)
 
         r_noise, r_coef, r_loop = jax.random.split(rng, 3)
 
