@@ -320,6 +320,7 @@ def fused_denoise_ctx(
     adaln_row: jnp.ndarray = None,
     layer_kernel: bool = False,
     packed_layers: tuple = None,
+    ctx3_list: tuple = None,
 ) -> jnp.ndarray:
     """fused_denoise with cached cross-attention contexts (inference path:
     the conditions never change within a sampling run).
@@ -331,8 +332,11 @@ def fused_denoise_ctx(
     ``layer_kernel``: run each whole DecoderLayer as ONE Pallas kernel
     (ops/pallas/linear_attention_kernel.py::fused_decoder_layer) with the
     batch folded into matmul rows; requires ``adaln_row``.  Pass
-    ``packed_layers`` (one pack_decoder_layer dict per layer, built once
-    outside the sampling scan) so no per-step operand marshaling remains."""
+    ``packed_layers`` (one pack_decoder_layer weight dict per layer, pure
+    parameter layout) and ``ctx3_list`` (one stacked+cast (B, 3, D, D)
+    context per layer, built once per run OUTSIDE the sampling scan) so no
+    per-step operand marshaling remains — this function runs inside the
+    scan body, so any stack/cast left here repeats every step."""
     use_pallas = use_pallas and jax.default_backend() == "tpu"
     p = params["params"]["denoiser"] if "denoiser" in params.get(
         "params", {}) else params["params"]
@@ -371,14 +375,16 @@ def fused_denoise_ctx(
             B * Tp, 1)
         qm_rows = jnp.pad(qm3, ((0, 0), (0, pad), (0, 0))).reshape(B * Tp, 3)
         if packed_layers is None:
-            packed_layers = pack_layers(p, c, ctx_cache)
+            packed_layers = pack_layers(p, c)
+        if ctx3_list is None:
+            ctx3_list = stack_layer_contexts(c, ctx_cache)
         for i in range(c.num_layers):
             seg = adaln_row[i * 5 * two_d:(i + 1) * 5 * two_d].reshape(
                 5, two_d)
             h_rows = fused_decoder_layer(
                 h_rows, m_rows, qm_rows, seg[:, :D], seg[:, D:],
-                packed_layers[i], num_heads=c.num_heads, ca_heads=c.ca_heads,
-                batch=B)
+                ctx3_list[i], packed_layers[i], num_heads=c.num_heads,
+                ca_heads=c.ca_heads, batch=B)
         h = h_rows.reshape(B, Tp, D)[:, :T, :]
         return _dense(h, p["out"])
 
@@ -446,18 +452,24 @@ def fused_denoise_ctx(
     return _dense(h, p["out"])
 
 
-def pack_layers(pd: Dict, dcfg: DenoiserConfig, ctx_cache: Dict,
-                enabled: bool = True):
-    """Build the per-layer packed operand dicts for the layer-kernel path
-    (ONE call per sampling run, outside the scan — see
-    ops/pallas/linear_attention_kernel.py::pack_decoder_layer).  Returns
-    None when disabled or off-TPU (the kernel never runs there)."""
+def stack_layer_contexts(dcfg: DenoiserConfig, ctx_cache: Dict):
+    """Per-layer (B, 3, D, D) bf16 context stacks for the layer kernel —
+    conditions-dependent, so built once per sampling RUN (outside the
+    scan), unlike the per-generator weight packs."""
+    return tuple(
+        jnp.stack([ctx_cache[(i, key)] for key in COND_KEYS],
+                  axis=1).astype(jnp.bfloat16)
+        for i in range(dcfg.num_layers))
+
+
+def pack_layers(pd: Dict, dcfg: DenoiserConfig, enabled: bool = True):
+    """Build the per-layer packed WEIGHT dicts for the layer-kernel path
+    (parameter layout only — compute ONCE per StagedGenerator, not per
+    clip; see ops/pallas/linear_attention_kernel.py::pack_decoder_layer).
+    Returns None when disabled or off-TPU (the kernel never runs there)."""
     if not enabled or jax.default_backend() != "tpu":
         return None
     from ..ops.pallas.linear_attention_kernel import pack_decoder_layer
 
-    return tuple(
-        pack_decoder_layer(
-            pd[f"block_{i}"],
-            jnp.stack([ctx_cache[(i, key)] for key in COND_KEYS], axis=1))
-        for i in range(dcfg.num_layers))
+    return tuple(pack_decoder_layer(pd[f"block_{i}"])
+                 for i in range(dcfg.num_layers))

@@ -509,14 +509,16 @@ def _erf_poly(v):
     return sign * (1.0 - poly * jnp.exp(-va * va))
 
 
-def pack_decoder_layer(layer_params: dict, ctx3: jnp.ndarray,
+def pack_decoder_layer(layer_params: dict,
                        bf16: bool = True) -> dict:
-    """Pack one DecoderLayer's parameters + cached cross-attention contexts
-    into FIVE arrays for :func:`fused_decoder_layer`.
+    """Pack one DecoderLayer's parameters into FIVE arrays for
+    :func:`fused_decoder_layer`.
 
     54 separate kernel operands cost real per-step launch/copy overhead in
-    the sampling scan; packing (done ONCE per sampling run, outside the
-    scan) gets each kernel call down to 11 operands.
+    the sampling scan; packing — pure parameter layout, done ONCE per
+    StagedGenerator (NOT per clip: rebuilding these stacks inside the
+    per-clip program cost ~0.7 ms/clip of concat/update-slice work) —
+    gets each kernel call down to 11 operands.
 
     Layout:
       vecs (31, D) f32 — every D-width bias/LN vector:
@@ -528,9 +530,10 @@ def pack_decoder_layer(layer_params: dict, ctx3: jnp.ndarray,
       mats (14, D, D) — 0-3 sa wq/wk/wv/wo, 4-9 CA (wq, wo)x3,
                         10-12 ca_mix thirds, 13 ffn stylization out
       w1 (D, F), w2 (F, D)
-      ctx3 (B, 3, D, D) — cached contexts for this layer
 
-    mats/w1/w2/ctx3 are stored bf16 by default: Mosaic's default f32 matmul
+    The per-clip cross-attention contexts stay a separate
+    fused_decoder_layer argument (they depend on the conditions).
+    mats/w1/w2 are stored bf16 by default: Mosaic's default f32 matmul
     rounds MXU inputs to bf16 anyway (verified bit-identical on v5e), so
     this halves VMEM/bandwidth at zero numeric cost.
     """
@@ -570,7 +573,6 @@ def pack_decoder_layer(layer_params: dict, ctx3: jnp.ndarray,
         "mats": jnp.stack([jnp.asarray(m, cd) for m in mat_list]),
         "w1": jnp.asarray(ffn["linear1"]["kernel"], cd),
         "w2": jnp.asarray(ffn["linear2"]["kernel"], cd),
-        "ctx3": jnp.asarray(ctx3, cd),
     }
 
 
@@ -582,7 +584,8 @@ def fused_decoder_layer(
     query_mask3: jnp.ndarray, # (B*Tp, 3)
     scale5: jnp.ndarray,      # (5, D) adaLN scales (sa, 3 CAs, ffn) —
     shift5: jnp.ndarray,      # (5, D) batch-uniform (precomputed adaLN table)
-    packed: dict,             # pack_decoder_layer output (params + ctx3)
+    ctx3: jnp.ndarray,        # (B, 3, D, D) cached cross-attn contexts
+    packed: dict,             # pack_decoder_layer output (weights)
     num_heads: int = 16,
     ca_heads: int = 16,
     batch: int = 2,
@@ -751,7 +754,7 @@ def fused_decoder_layer(
         query_mask3.astype(jnp.float32),
         scale5.astype(jnp.float32), shift5.astype(jnp.float32),
         packed["vecs"], packed["b1"], packed["mats"],
-        packed["w1"], packed["w2"], packed["ctx3"],
+        packed["w1"], packed["w2"], ctx3.astype(cd),
     )
     return out
 

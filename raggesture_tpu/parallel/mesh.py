@@ -77,6 +77,7 @@ def sharded_sampler(gen, mesh: Mesh, axis_name: str = DATA_AXIS):
         in_seq = jnp.zeros_like(noise)
         return gen._ddim_plain.__wrapped__(
             params, noise, rng, conds, token_mask, coef_table, js, in_seq,
+            gen._pro,
         )
 
     rep = P()

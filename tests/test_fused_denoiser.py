@@ -325,14 +325,13 @@ def test_fused_decoder_layer_kernel_matches_xla():
     rows = lambda a: jnp.pad(a, ((0, 0), (0, pad), (0, 0))).reshape(
         B * Tp, a.shape[-1])
     qm3 = jnp.stack([qm[k] for k in COND_KEYS], axis=-1)
-    packed = pack_decoder_layer(
-        blk, jnp.stack([ctx[(0, k)] for k in COND_KEYS], axis=1),
-        bf16=False)
+    packed = pack_decoder_layer(blk, bf16=False)
     out = fused_decoder_layer(
         rows(x), rows(src_mask), rows(qm3),
         jnp.stack([adaln[(0, s)][0][0] for s in STYL_SLOTS]),
         jnp.stack([adaln[(0, s)][1][0] for s in STYL_SLOTS]),
-        packed, num_heads=cfg.num_heads, ca_heads=cfg.ca_heads, batch=B,
+        jnp.stack([ctx[(0, k)] for k in COND_KEYS], axis=1), packed,
+        num_heads=cfg.num_heads, ca_heads=cfg.ca_heads, batch=B,
         interpret=True)
     out = out.reshape(B, Tp, D)[:, :T]
     valid = np.asarray(mask) > 0
@@ -374,9 +373,9 @@ def test_fused_decoder_layer_kernel_grid_over_pairs():
     scale5 = jnp.stack([adaln[(0, s)][0][0] for s in STYL_SLOTS])
     shift5 = jnp.stack([adaln[(0, s)][1][0] for s in STYL_SLOTS])
 
-    packed2 = pack_decoder_layer(blk, ctx3, bf16=False)
+    packed_w = pack_decoder_layer(blk, bf16=False)
     out2 = fused_decoder_layer(
-        rows(x), rows(src_mask), rows(qm3), scale5, shift5, packed2,
+        rows(x), rows(src_mask), rows(qm3), scale5, shift5, ctx3, packed_w,
         num_heads=cfg.num_heads, ca_heads=cfg.ca_heads, batch=B,
         interpret=True)
 
@@ -385,9 +384,8 @@ def test_fused_decoder_layer_kernel_grid_over_pairs():
     sm4 = jnp.concatenate([src_mask, src_mask[::-1]], axis=0)
     qm4 = jnp.concatenate([qm3, qm3[::-1]], axis=0)
     ctx34 = jnp.concatenate([ctx3, ctx3[::-1]], axis=0)
-    packed4 = pack_decoder_layer(blk, ctx34, bf16=False)
     out4 = fused_decoder_layer(
-        rows(x4), rows(sm4), rows(qm4), scale5, shift5, packed4,
+        rows(x4), rows(sm4), rows(qm4), scale5, shift5, ctx34, packed_w,
         num_heads=cfg.num_heads, ca_heads=cfg.ca_heads, batch=2 * B,
         interpret=True)
 
@@ -448,9 +446,10 @@ def test_fused_decoder_layer_kernel_bf16_and_distinct_ca_heads():
     shift5 = jnp.stack([adaln[(0, s)][1][0] for s in STYL_SLOTS])
 
     for bf16, atol in ((False, 3e-5), (True, 5e-2)):
-        packed = pack_decoder_layer(blk, ctx3, bf16=bf16)
+        packed = pack_decoder_layer(blk, bf16=bf16)
         out = fused_decoder_layer(
-            rows(x), rows(src_mask), rows(qm3), scale5, shift5, packed,
+            rows(x), rows(src_mask), rows(qm3), scale5, shift5,
+            ctx3.astype(jnp.bfloat16 if bf16 else jnp.float32), packed,
             num_heads=cfg.num_heads, ca_heads=cfg.ca_heads, batch=B,
             interpret=True)
         out = np.asarray(out).reshape(B, Tp, D)[:, :T]
@@ -492,13 +491,13 @@ def test_fused_decoder_layer_kernel_fully_masked_pair_partner():
     rows = lambda a: jnp.pad(a, ((0, 0), (0, pad), (0, 0))).reshape(
         B * Tp, a.shape[-1])
     qm3 = jnp.stack([qm[k] for k in COND_KEYS], axis=-1)
-    packed = pack_decoder_layer(
-        blk, jnp.stack([ctx[(0, k)] for k in COND_KEYS], axis=1), bf16=False)
+    packed = pack_decoder_layer(blk, bf16=False)
     out = fused_decoder_layer(
         rows(x), rows(src_mask), rows(qm3),
         jnp.stack([adaln[(0, s)][0][0] for s in STYL_SLOTS]),
         jnp.stack([adaln[(0, s)][1][0] for s in STYL_SLOTS]),
-        packed, num_heads=cfg.num_heads, ca_heads=cfg.ca_heads, batch=B,
+        jnp.stack([ctx[(0, k)] for k in COND_KEYS], axis=1), packed,
+        num_heads=cfg.num_heads, ca_heads=cfg.ca_heads, batch=B,
         interpret=True)
     out = np.asarray(out).reshape(B, Tp, D)[:, :T]
     valid = np.asarray(mask0) > 0
