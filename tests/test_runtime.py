@@ -252,7 +252,7 @@ def test_sharded_sampler_multichip():
 
     # single-device reference
     ref = gen._ddim_plain(params, noise, jax.random.PRNGKey(3), conds, mask,
-                          coef, js, jnp.zeros_like(noise))
+                          coef, js, jnp.zeros_like(noise), gen._pro)
 
     mesh = make_mesh()
     sample = sharded_sampler(gen, mesh)
