@@ -484,7 +484,7 @@ class StagedGenerator:
         ``layer_kernel`` path, which would otherwise take precedence and
         never reach the merged-CA kernel."""
         self.model = model
-        self.params = params
+        self._params = params
         self.sched = sched_test
         self.fused = fused
         self.merged_ca = merged_ca
@@ -575,7 +575,8 @@ class StagedGenerator:
                     [jnp.ones((B, 1, 1)), jnp.zeros((B, 1, 1))], axis=0)
                 ctx = precompute_cross_contexts(pd, cfg.denoiser, conds2, cm2)
                 ctx3s = (stack_layer_contexts(cfg.denoiser, ctx)
-                         if self.layer_kernel else None)
+                         if self.layer_kernel
+                         and jax.default_backend() == "tpu" else None)
 
                 def model_fn(x, t_orig, step_idx):
                     Bx = x.shape[0]
@@ -594,7 +595,8 @@ class StagedGenerator:
             cm = jnp.ones((token_mask.shape[0], 1, 1))
             ctx = precompute_cross_contexts(pd, cfg.denoiser, conds, cm)
             ctx3s = (stack_layer_contexts(cfg.denoiser, ctx)
-                     if self.layer_kernel else None)
+                     if self.layer_kernel
+                     and jax.default_backend() == "tpu" else None)
 
             def model_fn(x, t_orig, step_idx):
                 return fused_denoise_ctx(p, cfg.denoiser, x, t_orig,
@@ -772,26 +774,44 @@ class StagedGenerator:
         self._guided_pipeline = jax.jit(
             guided_pipeline, static_argnames=("inversion_start_time",))
 
-        # one-time prologue: the adaLN step table + packed layer weights
-        # are pure functions of the parameters; rebuilding them inside
-        # every clip's program cost ~1.5 ms/clip of re-layout work
-        if fused:
-            from .fused_denoiser import adaln_table, pack_layers
+        self._refresh_prologue()
 
-            pd0 = params["params"]["denoiser"] if "denoiser" in params.get(
-                "params", {}) else params["params"]
-            self._pro = (
-                adaln_table(params, cfg.denoiser,
-                            jnp.asarray(sched_test.timestep_map)),
-                pack_layers(pd0, cfg.denoiser, self.layer_kernel),
-            )
-        else:
+    @property
+    def params(self):
+        return self._params
+
+    @params.setter
+    def params(self, new_params):
+        # swapping parameters (EMA weights, a reloaded checkpoint) must
+        # recompute the parameter-only prologue, or the pipelines would
+        # mix the new params with the construction-time adaLN table /
+        # packed weights
+        self._params = new_params
+        self._refresh_prologue()
+
+    def _refresh_prologue(self):
+        """One-time (per params) prologue: the adaLN step table + packed
+        layer weights are pure functions of the parameters; rebuilding
+        them inside every clip's program cost ~1.5 ms/clip."""
+        if not self.fused:
             self._pro = None
+            return
+        from .fused_denoiser import adaln_table, pack_layers
+
+        params = self._params
+        cfg = self.model.cfg
+        pd0 = params["params"]["denoiser"] if "denoiser" in params.get(
+            "params", {}) else params["params"]
+        self._pro = (
+            adaln_table(params, cfg.denoiser,
+                        jnp.asarray(self.sched.timestep_map)),
+            pack_layers(pd0, cfg.denoiser, self.layer_kernel),
+        )
 
     def sample(self, batch, rng):
         """Single-dispatch plain generation (see sample_pipeline above).
-        Equivalent to ``self(batch, rng)`` with default InferenceOptions,
-        minus the gt_latents output (which requires the GT motion encode)."""
+        Identical to ``self(batch, rng)`` with default InferenceOptions
+        (both route through sample_pipeline)."""
         b = {k: batch[k] for k in ("word", "audio", "speaker_ids",
                                    "motion_mask")}
         return self._sample_pipeline(self.params, b, rng, self._pro)
@@ -811,11 +831,7 @@ class StagedGenerator:
         p = self.params
         inv_lat = jnp.asarray(re_dict["inv_latents"])
         inv_mask = jnp.asarray(re_dict["inv_mask"])
-        inv_conds = self._conds(p, {
-            "word": jnp.asarray(re_dict["inv_conds"]["word"]),
-            "audio": jnp.asarray(re_dict["inv_conds"]["audio"]),
-            "speaker_ids": jnp.asarray(re_dict["inv_conds"]["speaker_ids"]),
-        })
+        inv_conds = self._conds(p, _inv_conds_core(re_dict))
         stack = self._invert(p, inv_lat, inv_mask, inv_conds, self._pro)
         error_curve = jnp.mean((stack - inv_lat[None]) ** 2, axis=(2, 3))
         recon = self._ddim_cond(p, stack[-1], inv_mask, inv_conds, self._pro)
@@ -841,18 +857,25 @@ class StagedGenerator:
                 guidance_iters_schedule("constant", self.sched.num_timesteps)
             core = {k: batch[k] for k in ("word", "audio", "speaker_ids",
                                           "motion_mask")}
-            inv_core = {
-                "word": jnp.asarray(re_dict["inv_conds"]["word"]),
-                "audio": jnp.asarray(re_dict["inv_conds"]["audio"]),
-                "speaker_ids": jnp.asarray(
-                    re_dict["inv_conds"]["speaker_ids"]),
-            }
+            inv_core = _inv_conds_core(re_dict)
+            inv_lat = jnp.asarray(re_dict["inv_latents"])
+            inv_mask = jnp.asarray(re_dict["inv_mask"])
+            # the exemplar count varies per clip with retrieval hits;
+            # bucket it to the next power of two (zero rows, mask 0) so
+            # the monolithic pipeline compiles once per bucket, not once
+            # per distinct Q (the splice gather never references pad rows)
+            Q = inv_lat.shape[0]
+            Qb = 1 << max(Q - 1, 0).bit_length()
+            if Qb != Q:
+                padq = lambda a: jnp.concatenate(
+                    [a, jnp.zeros((Qb - Q,) + a.shape[1:], a.dtype)], axis=0)
+                inv_lat, inv_mask = padq(inv_lat), padq(inv_mask)
+                inv_core = {k: padq(v) for k, v in inv_core.items()}
             B = jnp.asarray(batch["motion_mask"]).shape[0]
             gather, smask = splice_maps(dcfg, re_dict["splice"], B,
                                         dcfg.num_tokens)
             return self._guided_pipeline(
-                p, core, jnp.asarray(re_dict["inv_latents"]),
-                jnp.asarray(re_dict["inv_mask"]), inv_core, gather, smask,
+                p, core, inv_lat, inv_mask, inv_core, gather, smask,
                 jnp.asarray(gi), opts.guidance_lr, rng, self._pro,
                 inversion_start_time=int(opts.inversion_start_time))
 
@@ -884,11 +907,7 @@ class StagedGenerator:
         inv_all = None
 
         if opts.use_inversion:
-            inv_conds = self._conds(p, {
-                "word": jnp.asarray(re_dict["inv_conds"]["word"]),
-                "audio": jnp.asarray(re_dict["inv_conds"]["audio"]),
-                "speaker_ids": jnp.asarray(re_dict["inv_conds"]["speaker_ids"]),
-            })
+            inv_conds = self._conds(p, _inv_conds_core(re_dict))
             inv_stack = self._invert(p, jnp.asarray(re_dict["inv_latents"]),
                                      jnp.asarray(re_dict["inv_mask"]),
                                      inv_conds, self._pro)
@@ -979,6 +998,15 @@ def splice_inverted(dcfg: DenoiserConfig, sched, start_noise, inv_stack,
     gather, mask = splice_maps(dcfg, splice, *start_noise.shape[:2])
     return _splice_apply(start_noise, inv_stack, gather, mask,
                          int(inversion_start_time), bool(with_guidance))
+
+
+def _inv_conds_core(re_dict) -> Dict[str, jnp.ndarray]:
+    """The retrieved exemplars' own raw conditions (for inversion)."""
+    return {
+        "word": jnp.asarray(re_dict["inv_conds"]["word"]),
+        "audio": jnp.asarray(re_dict["inv_conds"]["audio"]),
+        "speaker_ids": jnp.asarray(re_dict["inv_conds"]["speaker_ids"]),
+    }
 
 
 def splice_maps(dcfg: DenoiserConfig, splice, B: int, T: int):

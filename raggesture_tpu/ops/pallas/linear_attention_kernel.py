@@ -603,9 +603,9 @@ def fused_decoder_layer(
 
       * the batch dim folds into matmul ROWS ((B, Tp, D) -> (B*Tp, D)) so
         every projection runs at B*Tp=96 rows instead of two 48-row passes;
-        the per-batch time softmax stays exact via a global column max
-        (any per-column constant cancels within a segment) with segment
-        sums from static row slices;
+        the per-batch time softmax uses per-SEGMENT column maxes and sums
+        (static row slices — a global max would be exact in real
+        arithmetic but underflows a fully-masked segment to 0/0 NaN);
       * parameters arrive packed (pack_decoder_layer): 11 operands per
         call instead of 54, bf16 weight storage (numerically free — see
         pack_decoder_layer).

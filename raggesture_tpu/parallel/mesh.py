@@ -73,11 +73,11 @@ def sharded_sampler(gen, mesh: Mesh, axis_name: str = DATA_AXIS):
     except ImportError:  # pragma: no cover - older jax
         from jax.experimental.shard_map import shard_map
 
-    def fn(params, noise, rng, conds, token_mask, coef_table, js):
+    def fn(params, noise, rng, conds, token_mask, coef_table, js, pro):
         in_seq = jnp.zeros_like(noise)
         return gen._ddim_plain.__wrapped__(
             params, noise, rng, conds, token_mask, coef_table, js, in_seq,
-            gen._pro,
+            pro,
         )
 
     rep = P()
@@ -89,8 +89,16 @@ def sharded_sampler(gen, mesh: Mesh, axis_name: str = DATA_AXIS):
             inspect.signature(shard_map).parameters else "check_rep")
     sm = shard_map(
         fn, mesh=mesh,
-        in_specs=(rep, bat, rep, bat, bat, rep, rep),
+        in_specs=(rep, bat, rep, bat, bat, rep, rep, rep),
         out_specs=bat,
         **{flag: False},
     )
-    return jax.jit(sm)
+    jitted = jax.jit(sm)
+
+    def sample_fn(params, noise, rng, conds, token_mask, coef_table, js):
+        # gen._pro is passed per call (replicated), never closure-baked —
+        # it tracks gen.params via the StagedGenerator.params setter
+        return jitted(params, noise, rng, conds, token_mask, coef_table,
+                      js, gen._pro)
+
+    return sample_fn

@@ -186,18 +186,15 @@ def test_staged_generator_fused_matches_plain_on_cpu():
     np.testing.assert_allclose(np.asarray(out_f["output_latents"]),
                                np.asarray(out_p["output_latents"]),
                                atol=5e-4)
-    # the single-dispatch pipeline (sample) mirrors __call__'s rng splits,
-    # so for the same rng it reproduces the staged path (5e-4: the two are
-    # separate XLA programs and the 50-step recursion amplifies any
-    # fusion-order ulp — see the CLAUDE.md numerics note)
+    # sample() and __call__ (default options) route through the SAME
+    # jitted sample_pipeline, so their outputs are bit-identical
     out_s = fused.sample(batch, r)
-    np.testing.assert_allclose(np.asarray(out_s["output_latents"]),
-                               np.asarray(out_f["output_latents"]),
-                               atol=5e-4)
+    np.testing.assert_array_equal(np.asarray(out_s["output_latents"]),
+                                  np.asarray(out_f["output_latents"]))
     for k in out_s:
         if k.startswith("pred_"):
-            np.testing.assert_allclose(np.asarray(out_s[k]),
-                                       np.asarray(out_f[k]), atol=5e-4)
+            np.testing.assert_array_equal(np.asarray(out_s[k]),
+                                          np.asarray(out_f[k]))
 
 
 def test_merged_cross_block_kernel_matches_xla():
