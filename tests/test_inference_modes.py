@@ -129,3 +129,56 @@ def test_mode_validation(setup):
         InferenceOptions(insertion_guidance=True).validate()
     with pytest.raises(AssertionError):
         InferenceOptions(use_prev_latent=True, outpaint=True).validate()
+
+
+def test_guided_pipeline_q_bucketing_is_exact():
+    """Padding the exemplar count to its power-of-two bucket (zero rows,
+    mask 0) must not change the guided output at all: the splice gather
+    never references pad rows and the pipeline's rng splits are
+    Q-independent.  Compares Q=2 (bucket 2, no pad) against the same
+    exemplars duplicated to Q=3 (bucket 4, one pad row) where the extra
+    real exemplar's splice row is absent (so it contributes nothing)."""
+    import numpy as np
+
+    from raggesture_tpu.datasets.fixtures import tiny_arch_config, tiny_batch
+    from raggesture_tpu.models.architecture import (
+        InferenceOptions,
+        MotionDiffusionModel,
+        StagedGenerator,
+        guidance_iters_schedule,
+    )
+
+    cfg = tiny_arch_config()
+    model = MotionDiffusionModel(cfg)
+    batch = tiny_batch(batch=2)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "vae": jax.random.PRNGKey(1)},
+        batch)
+    sched = cfg.diffusion_test.schedule()
+    gen = StagedGenerator(model, params, sched, fused=True)
+    z, mask = gen._encode(params, batch)
+    conds_core = {"word": batch["word"], "audio": batch["audio"],
+                  "speaker_ids": batch["speaker_ids"]}
+    splice = jnp.asarray([[0, 0, 0, 1], [1, 1, 1, 1]], jnp.int32)
+    gi = guidance_iters_schedule("constant", sched.num_timesteps)
+    opts = InferenceOptions(use_inversion=True, insertion_guidance=True,
+                            guidance_lr=0.05)
+    r = jax.random.PRNGKey(11)
+
+    out2 = gen(batch, r, opts=opts, guidance_iters=gi, re_dict={
+        "inv_latents": z, "inv_mask": mask, "inv_conds": conds_core,
+        "splice": splice,
+    })
+    # Q=3: one extra exemplar whose splice row does not exist -> padded to
+    # bucket 4 internally; identical result expected
+    z3 = jnp.concatenate([z, z[:1]], axis=0)
+    m3 = jnp.concatenate([mask, mask[:1]], axis=0)
+    c3 = {k: jnp.concatenate([v, v[:1]], axis=0)
+          for k, v in conds_core.items()}
+    out3 = gen(batch, r, opts=opts, guidance_iters=gi, re_dict={
+        "inv_latents": z3, "inv_mask": m3, "inv_conds": c3,
+        "splice": splice,
+    })
+    for k in out2:
+        np.testing.assert_array_equal(np.asarray(out2[k]),
+                                      np.asarray(out3[k]))
