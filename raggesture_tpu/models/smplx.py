@@ -87,6 +87,29 @@ def load_smplx(npz_path: str, num_betas: int = 300, num_expr: int = 100
     )
 
 
+def load_smplx_faces(npz_path: str) -> np.ndarray:
+    """(F, 3) int32 triangle list from the SMPL-X npz (key ``f`` in the
+    standard release; ``faces`` accepted too).  Kept out of
+    :class:`SmplxModel` — faces are render-only and never enter jit."""
+    d = np.load(npz_path, allow_pickle=True)
+    for key in ("f", "faces"):
+        if key in d:
+            return np.asarray(d[key], np.int32)
+    raise KeyError(f"no face array ('f'/'faces') in {npz_path}")
+
+
+def synthetic_faces(num_joints: int = 4, verts_per_joint: int = 6
+                    ) -> np.ndarray:
+    """Triangle list matching :func:`synthetic_model`'s vertex layout: a fan
+    over each joint's vertex cluster (valid indices, nondegenerate)."""
+    faces = []
+    for j in range(num_joints):
+        base = j * verts_per_joint
+        for k in range(1, verts_per_joint - 1):
+            faces.append([base, base + k, base + k + 1])
+    return np.asarray(faces, np.int32)
+
+
 def synthetic_model(num_joints: int = 4, verts_per_joint: int = 6,
                     seed: int = 0) -> SmplxModel:
     """A tiny well-formed rig for hermetic tests: a joint chain with vertex

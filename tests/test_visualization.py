@@ -1,21 +1,31 @@
-"""Visualization fallback path: npz → skeleton frames → GIF."""
+"""Visualization: skeleton fallback, vertex-frame generation (LBS), the
+software mesh rasterizer, and the shared-camera side-by-side mesh path."""
 
 import os
 
 import numpy as np
 
+from raggesture_tpu.models.smplx import synthetic_faces, synthetic_model
 from raggesture_tpu.utils.motion_io import save_smplx_npz
 from raggesture_tpu.utils.visualization import (
+    _SMPLX_PARENTS,
+    active_frame_mask,
     active_frame_range,
+    checkerboard_floor,
+    compute_auto_framing,
     joints_from_npz,
+    rasterize_mesh,
     render_gt_pred_side_by_side,
     skeleton_frames,
+    smplx_active_anchor,
+    software_mesh_frames,
+    vertices_from_npz,
 )
 
 
-def _make_npz(path, T=8):
+def _make_npz(path, T=8, dim=165):
     rng = np.random.RandomState(0)
-    save_smplx_npz(path, rng.randn(T, 165).astype(np.float32) * 0.1,
+    save_smplx_npz(path, rng.randn(T, dim).astype(np.float32) * 0.1,
                    rng.randn(T, 100).astype(np.float32),
                    rng.randn(T, 3).astype(np.float32) * 0.01)
 
@@ -26,6 +36,14 @@ def test_active_frame_range():
     r = active_frame_range(poses)
     assert (r.start, r.stop) == (3, 7)
     assert active_frame_range(np.zeros((5, 165))) == slice(0, 5)
+    assert active_frame_mask(poses).sum() == 4
+
+
+def test_eye_joint_parents():
+    # SMPL-X parents jaw (22), leye (23), reye (24) all to the head (15)
+    assert _SMPLX_PARENTS[22] == 15
+    assert _SMPLX_PARENTS[23] == 15
+    assert _SMPLX_PARENTS[24] == 15
 
 
 def test_joints_and_render(tmp_path):
@@ -40,3 +58,88 @@ def test_joints_and_render(tmp_path):
     out = render_gt_pred_side_by_side(gt, pred, str(tmp_path / "v.mp4"),
                                       fps=5, max_frames=4)
     assert os.path.exists(out)  # .gif fallback without ffmpeg
+
+
+def test_vertices_from_npz_synthetic(tmp_path):
+    model = synthetic_model()
+    T, J = 6, 4
+    poses = np.zeros((T, J * 3), np.float32)
+    poses[1:] = np.random.RandomState(1).randn(T - 1, J * 3) * 0.2
+    trans = np.tile(np.array([[0.1, 0.2, 0.3]], np.float32), (T, 1))
+    p = str(tmp_path / "m.npz")
+    save_smplx_npz(p, poses, np.zeros((T, 5), np.float32), trans)
+    verts = vertices_from_npz(p, model, batch=4)  # forces a padded tail
+    assert verts.shape == (T, 24, 3)
+    # zero pose + zero betas -> template + translation (frame 0)
+    np.testing.assert_allclose(
+        verts[0], np.asarray(model.v_template) + trans[0], atol=1e-5)
+    anchor = smplx_active_anchor(p, model)
+    assert anchor.shape == (3,) and np.isfinite(anchor).all()
+
+
+def test_compute_auto_framing():
+    verts = np.random.RandomState(0).randn(5, 20, 3).astype(np.float32)
+    mask = np.array([False, True, True, True, False])
+    pose, floor_y = compute_auto_framing(verts, mask)
+    assert pose.shape == (4, 4) and pose[3, 3] == 1.0
+    assert floor_y <= verts[mask][..., 1].min()
+    # camera sits 2 m behind the character's mean z
+    assert abs(pose[2, 3] - (verts[mask][..., 2].mean() + 2.0)) < 1e-5
+
+
+def test_checkerboard_floor():
+    v, f, c = checkerboard_floor(y=0.5, length=4.0, tile=1.0)
+    assert v.shape == (4 * 16, 3) and f.shape == (32, 3) and c.shape == (32, 3)
+    assert np.all(v[:, 1] == 0.5)
+    assert f.max() < len(v)
+
+
+def test_rasterize_zbuffer_and_colors():
+    # camera at origin looking down -Z; two stacked triangles, near one wins
+    cam = np.eye(4, dtype=np.float32)
+    verts = np.array([
+        [-1, -1, -2.0], [1, -1, -2.0], [0, 1, -2.0],   # near, red
+        [-1, -1, -4.0], [1, -1, -4.0], [0, 1, -4.0],   # far, green
+    ], np.float32)
+    faces = np.array([[0, 1, 2], [3, 4, 5]], np.int32)
+    colors = np.array([[255, 0, 0], [0, 255, 0]], np.uint8)
+    img = rasterize_mesh(verts, faces, colors, cam, 64, 64,
+                         bg=(10, 10, 10))
+    center = img[32, 32]
+    assert center[0] > center[1], "near (red) triangle must win the z-test"
+    assert tuple(img[0, 0]) == (10, 10, 10), "background preserved"
+
+
+def test_software_mesh_frames_hides_inactive():
+    model = synthetic_model()
+    faces = synthetic_faces()
+    T = 3
+    verts = np.tile(np.asarray(model.v_template)[None], (T, 1, 1))
+    active = np.array([True, False, True])
+    cam, floor_y = compute_auto_framing(verts, active)
+    frames = software_mesh_frames(verts, faces, active, cam, floor_y,
+                                  width=48, height=64)
+    assert len(frames) == T and frames[0].shape == (64, 48, 3)
+    # the inactive frame renders floor/bg only -> differs from active frames
+    assert not np.array_equal(frames[0], frames[1])
+    assert np.array_equal(frames[0], frames[2])
+
+
+def test_mesh_side_by_side(tmp_path):
+    model = synthetic_model()
+    faces = synthetic_faces()
+    T, J = 4, 4
+    rng = np.random.RandomState(0)
+    for name in ("gt", "pred"):
+        save_smplx_npz(str(tmp_path / f"{name}.npz"),
+                       rng.randn(T, J * 3).astype(np.float32) * 0.1,
+                       np.zeros((T, 5), np.float32),
+                       np.zeros((T, 3), np.float32))
+    out = render_gt_pred_side_by_side(
+        str(tmp_path / "gt.npz"), str(tmp_path / "pred.npz"),
+        str(tmp_path / "v.mp4"), smplx_model=model, faces=faces)
+    assert os.path.exists(out)
+    from PIL import Image
+
+    img = Image.open(out)
+    assert img.size[0] == 2 * 320  # two mesh panels at default panel width

@@ -49,7 +49,12 @@ def parse_args():
     p.add_argument("--max-batches", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--render", action="store_true",
-                   help="pyrender side-by-side mp4s (requires pyrender)")
+                   help="side-by-side videos: SMPL-X mesh (pyrender EGL or "
+                        "the numpy rasterizer) when --smplx-asset is given, "
+                        "skeleton plots otherwise")
+    p.add_argument("--smplx-asset", default=None,
+                   help="SMPLX_NEUTRAL_2020.npz path enabling mesh renders "
+                        "(reference visualize.py uses test_dataset.smplx)")
     p.add_argument("--options", nargs="+", default=[])
     return p.parse_args()
 
@@ -103,6 +108,15 @@ def main():
 
     model = build_architecture(cfg.model)
     fps = cfg.data.train.get("pose_fps", 15)
+
+    render_model, render_faces = None, None
+    if args.render and args.smplx_asset:
+        from raggesture_tpu.models.smplx import load_smplx, load_smplx_faces
+
+        render_model = load_smplx(args.smplx_asset)
+        render_faces = load_smplx_faces(args.smplx_asset)
+        logger.info("mesh rendering enabled (%d faces)",
+                    render_faces.shape[0])
 
     _ext = [None, False]
 
@@ -274,14 +288,27 @@ def main():
             if args.render:
                 from raggesture_tpu.utils.visualization import (
                     render_gt_pred_side_by_side,
+                    render_pred_vs_retrieval_side_by_side,
                 )
 
                 render_gt_pred_side_by_side(
                     os.path.join(smp_dir, "gt_motion.npz"),
                     os.path.join(smp_dir, "pred_motion.npz"),
                     os.path.join(smp_dir, "side_by_side.mp4"),
+                    smplx_model=render_model, faces=render_faces,
                     audio_path=os.path.join(smp_dir, "gt_audio.wav"),
                 )
+                # Pred (blue) vs retrieval (green); the retrieval panel
+                # auto-hides the mesh on zero-padded frames (reference
+                # visualize.py:588-608).
+                retr_npz = os.path.join(smp_dir, "retrieval_0.npz")
+                if os.path.exists(retr_npz):
+                    render_pred_vs_retrieval_side_by_side(
+                        os.path.join(smp_dir, "pred_motion.npz"), retr_npz,
+                        os.path.join(smp_dir, "pred_vs_retrieval.mp4"),
+                        smplx_model=render_model, faces=render_faces,
+                        audio_path=os.path.join(smp_dir, "gt_audio.wav"),
+                    )
         logger.info("batch %d: wrote %d samples", bi, int(np.sum(valid)))
 
     # persist retrieval memoization (DatabaseSaveHook after test epoch)
