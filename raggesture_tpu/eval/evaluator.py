@@ -70,14 +70,18 @@ class Evaluator:
     """Aggregating evaluator over saved result directories."""
 
     def __init__(self, cfg: EvalConfig = EvalConfig(), fgd_embed_fn=None,
-                 fk_fn=None):
+                 fk_fn=None, face_fk_fn=None):
         """fgd_embed_fn(poses_6d (B,T,330)) -> (B', latent) FGD latents;
         fk_fn(poses_aa (T,165), trans (T,3), exps (T,100)) -> (T, 55, 3)
-        joints.  Either may be None — the dependent metrics are skipped
-        (e.g. no converted AESKConv weights / no SMPL-X asset)."""
+        joints; face_fk_fn(poses_aa (T,165), exps (T,100), betas (300,)) ->
+        (T, V*3) vertices of the jaw+expression-only body (reference
+        evaluate.py:329-355: all body/hand/eye/global rotations and transl
+        zeroed).  Any may be None — the dependent metrics are skipped (face
+        metrics fall back to the expression-space stand-in)."""
         self.cfg = cfg
         self.fgd_embed_fn = fgd_embed_fn
         self.fk_fn = fk_fn
+        self.face_fk_fn = face_fk_fn
         self.logger = get_root_logger()
         self.l1div_pred = M.L1div()
         self.l1div_gt = M.L1div()
@@ -88,8 +92,12 @@ class Evaluator:
         self.fgd_pred: List[np.ndarray] = []
         self.fgd_gt: List[np.ndarray] = []
         self.align_scores: List[float] = []
-        self.face_l2: List[float] = []
-        self.face_lvd: List[float] = []
+        # frame-weighted accumulators (reference evaluate.py:366-367,428:
+        # l2_all += l2*n; lvel += lvd*n; divided by total_length at the end)
+        self.face_l2_sum = 0.0
+        self.face_lvd_sum = 0.0
+        self.face_frames = 0
+        self.face_space = "vertex" if face_fk_fn is not None else "expression"
         self.joints_per_clip: List[np.ndarray] = []
 
     # -- per-clip ------------------------------------------------------------
@@ -157,14 +165,34 @@ class Evaluator:
                     self.align_scores.append(
                         self.align.calculate_align(onsets, beats))
 
-        # face vertex metrics stand-in: jaw pose + expression space
-        # (reference uses face-only FK vertices, evaluate.py:362-367;
-        # expression L2 is monotonically related for a fixed template)
-        fl2 = float(np.mean((pred_exps[:T] - gt_exps[:T]) ** 2))
-        pv = np.diff(pred_exps[:T], axis=0)
-        gv = np.diff(gt_exps[:T], axis=0)
-        self.face_l2.append(fl2)
-        self.face_lvd.append(float(np.mean(np.abs(pv - gv))))
+        # face metrics (reference evaluate.py:329-367): FK the
+        # jaw+expression-only body to full vertices, MSE + the velocity L1
+        # written there as L1(rec[1:]-tar[:-1], tar[1:]-tar[:-1]) — which
+        # algebraically equals mean|rec[1:]-tar[1:]| — both frame-weighted.
+        if self.face_fk_fn is not None:
+            d = np.load(os.path.join(rdir, "gt_motion.npz"),
+                        allow_pickle=True)
+            betas = np.asarray(
+                d["betas"] if "betas" in d.files else np.zeros(300),
+                np.float32).reshape(-1)
+            facial_rec = np.asarray(self.face_fk_fn(
+                pred_pose, pred_exps[:T], betas)).reshape(T, -1)
+            facial_tar = np.asarray(self.face_fk_fn(
+                gt_pose, gt_exps[:T], betas)).reshape(T, -1)
+            fl2 = float(np.mean((facial_rec - facial_tar) ** 2))
+            lvd = float(np.mean(np.abs(
+                (facial_rec[1:] - facial_tar[:-1])
+                - (facial_tar[1:] - facial_tar[:-1]))))
+        else:
+            # expression-space stand-in (monotonically related for a fixed
+            # template) when no SMPL-X asset is available
+            fl2 = float(np.mean((pred_exps[:T] - gt_exps[:T]) ** 2))
+            pv = np.diff(pred_exps[:T], axis=0)
+            gv = np.diff(gt_exps[:T], axis=0)
+            lvd = float(np.mean(np.abs(pv - gv)))
+        self.face_l2_sum += fl2 * T
+        self.face_lvd_sum += lvd * T
+        self.face_frames += T
 
     # -- aggregate -------------------------------------------------------------
     def summarize(self) -> Dict[str, float]:
@@ -185,8 +213,9 @@ class Evaluator:
             L = min(j.shape[0] for j in self.joints_per_clip)
             out["diversity"] = M.calculate_avg_distance(
                 [j[:L] for j in self.joints_per_clip])
-        out["face_l2"] = float(np.mean(self.face_l2)) if self.face_l2 else 0.0
-        out["face_lvd"] = float(np.mean(self.face_lvd)) if self.face_lvd else 0.0
+        n = max(self.face_frames, 1)
+        out["face_l2"] = self.face_l2_sum / n
+        out["face_lvd"] = self.face_lvd_sum / n
         return out
 
     def evaluate(self, root: str) -> Dict[str, float]:

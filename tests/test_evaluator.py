@@ -104,6 +104,55 @@ def test_evaluator_full(result_root):
     assert np.isfinite(list(s.values())).all()
 
 
+def test_evaluator_face_vertex_space(tmp_path):
+    """Vertex-space face metrics via jaw+expression-only FK (reference
+    evaluate.py:329-367): body-pose differences must NOT affect face_l2."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from raggesture_tpu.models.smplx import synthetic_model
+    from tools.evaluate import build_face_fk_fn
+
+    model = synthetic_model(num_joints=55, verts_per_joint=2)
+    face_fk = build_face_fk_fn("", model=model)
+
+    T = 16
+    rng = np.random.RandomState(3)
+    jaw = rng.randn(T, 3).astype(np.float32) * 0.2
+    exps = rng.randn(T, 100).astype(np.float32)
+
+    def npz(path, body_seed):
+        r2 = np.random.RandomState(body_seed)
+        poses = r2.randn(T, 165).astype(np.float32) * 0.2
+        poses[:, 66:69] = jaw  # same jaw on both sides
+        save_smplx_npz(path, poses, exps, np.zeros((T, 3), np.float32))
+
+    d = str(tmp_path / "clip/0")
+    os.makedirs(d)
+    npz(os.path.join(d, "pred_motion.npz"), body_seed=1)
+    npz(os.path.join(d, "gt_motion.npz"), body_seed=2)
+
+    ev = Evaluator(EvalConfig(eval_n=T, compute_fgd=False),
+                   face_fk_fn=face_fk)
+    s = ev.evaluate(str(tmp_path))
+    assert s["face_l2"] < 1e-10 and s["face_lvd"] < 1e-6
+    assert ev.face_space == "vertex"
+
+    # differing jaw poses must register
+    d2 = str(tmp_path / "clip2/0")
+    os.makedirs(d2)
+    npz(os.path.join(d2, "pred_motion.npz"), body_seed=1)
+    gt2 = np.load(os.path.join(d, "gt_motion.npz"), allow_pickle=True)
+    poses2 = np.asarray(gt2["poses"]).copy()
+    poses2[:, 66:69] += 0.5
+    save_smplx_npz(os.path.join(d2, "gt_motion.npz"), poses2, exps,
+                   np.zeros((T, 3), np.float32))
+    ev2 = Evaluator(EvalConfig(eval_n=T, compute_fgd=False),
+                    face_fk_fn=face_fk)
+    ev2.add_result_dir(d2)
+    assert ev2.summarize()["face_l2"] > 1e-8
+
+
 def test_multimodality(tmp_path):
     roots = []
     for rep in range(3):

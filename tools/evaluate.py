@@ -36,13 +36,13 @@ def parse_args():
     return p.parse_args()
 
 
-def build_fk_fn(smplx_path: str):
+def build_fk_fn(smplx_path: str, model=None):
     import jax
     import jax.numpy as jnp
 
     from raggesture_tpu.models.smplx import lbs, load_smplx
 
-    model = load_smplx(smplx_path)
+    model = model or load_smplx(smplx_path)
 
     @jax.jit
     def fk(pose_aa, trans, exps):
@@ -54,6 +54,34 @@ def build_fk_fn(smplx_path: str):
         return joints
 
     return fk
+
+
+def build_face_fk_fn(smplx_path: str, model=None, jaw_joint: int = 22):
+    """Jaw+expression-only FK to full vertices for the face L2/LVD metrics
+    (reference tools/evaluate.py:329-355: every rotation except jaw_pose and
+    every translation zeroed, GT betas + per-side expressions active)."""
+    import jax
+    import jax.numpy as jnp
+
+    from raggesture_tpu.models.smplx import lbs, load_smplx
+
+    model = model or load_smplx(smplx_path)
+
+    @jax.jit
+    def face_fk(pose_aa, exps, betas):
+        n = pose_aa.shape[0]
+        nj = model.num_joints
+        face_pose = jnp.zeros((n, nj, 3), pose_aa.dtype)
+        face_pose = face_pose.at[:, jaw_joint].set(
+            pose_aa.reshape(n, nj, 3)[:, jaw_joint])
+        b = jnp.broadcast_to(betas[: model.shapedirs.shape[-1]],
+                             (n, model.shapedirs.shape[-1]))
+        _, verts = lbs(model, b, face_pose.reshape(n, nj * 3),
+                       expression=exps[:, : model.exprdirs.shape[-1]],
+                       transl=None, return_verts=True)
+        return verts.reshape(n, -1)
+
+    return face_fk
 
 
 def build_fgd_fn(weights_path: str):
@@ -81,9 +109,13 @@ def main():
     setup_compilation_cache()
     logger = get_root_logger()
 
-    fk_fn = None
+    fk_fn, face_fk_fn = None, None
     if os.path.exists(args.smplx):
-        fk_fn = build_fk_fn(args.smplx)
+        from raggesture_tpu.models.smplx import load_smplx
+
+        smplx_model = load_smplx(args.smplx)
+        fk_fn = build_fk_fn(args.smplx, model=smplx_model)
+        face_fk_fn = build_face_fk_fn(args.smplx, model=smplx_model)
     else:
         logger.warning("SMPL-X asset %s missing — kinematic metrics skipped",
                        args.smplx)
@@ -96,7 +128,8 @@ def main():
 
     cfg = EvalConfig(eval_n=args.eval_n, compute_fgd=fgd_fn is not None,
                      compute_srgr=args.srgr)
-    ev = Evaluator(cfg, fgd_embed_fn=fgd_fn, fk_fn=fk_fn)
+    ev = Evaluator(cfg, fgd_embed_fn=fgd_fn, fk_fn=fk_fn,
+                   face_fk_fn=face_fk_fn)
     summary = ev.evaluate(args.result_dir)
     print(json.dumps(summary, indent=1))
     out = args.out or os.path.join(args.result_dir, "metrics.json")
