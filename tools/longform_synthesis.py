@@ -37,6 +37,14 @@ def parse_args():
     p.add_argument("--guidance-lr", type=float, default=0.1)
     p.add_argument("--max-clips", type=int, default=10)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--refeaturize-chunks", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="re-run the audio/text extractors on each chunk's raw "
+                        "audio/transcript (reference longform_synthesis.py:"
+                        "64-94,322-344; wav2vec2/BERT features are context-"
+                        "dependent, so slicing full-clip features differs); "
+                        "--no-refeaturize-chunks keeps the fast "
+                        "proportional-slice path")
     p.add_argument("--options", nargs="+", default=[])
     return p.parse_args()
 
@@ -113,6 +121,29 @@ def slice_chunk(rec, s: int, e: int, fps: int, audio_sr: int = 16000):
     ]
     out["sample_name"] = f"{rec['sample_name']}@{s}"
     return out
+
+
+def refeaturize_chunk(chunk, extractor, audio_sr: int = 16000):
+    """Replace the proportionally-sliced audio features and the full-clip
+    text feature with per-chunk extractor outputs (reference
+    longform_synthesis.py:322-344: wav2vec2 on the chunk's raw audio, BERT
+    on the chunk's merged text segments).  The frame-aligned ``word``
+    features stay sliced, exactly like the reference's
+    ``data["word"][:, chunk_start:chunk_end]`` (:332)."""
+    from raggesture_tpu.datasets.disco import merge_textsegs
+
+    ra = np.asarray(chunk["raw_audio"])
+    chunk["audio"] = (
+        np.asarray(extractor.audio_features(ra, audio_sr), np.float32)
+        if ra.size else np.zeros((1, extractor.audio_dim), np.float32))
+    merged = merge_textsegs(chunk.get("text_segments", []))
+    sentence = " ".join(t[1] for t in merged).strip()
+    if sentence:
+        _, tf = extractor.word_embeddings(sentence)
+        if tf is not None:
+            chunk["text_feature"] = np.asarray(tf, np.float32)
+            chunk["raw_word"] = sentence
+    return chunk
 
 
 def main():
@@ -192,6 +223,17 @@ def main():
         corpus = RetrievalCorpus.build(train_ds, rcfg)
         db = RetrievalDatabase(corpus, rcfg, train_ds)
 
+    chunk_ext = None
+    if args.refeaturize_chunks:
+        from raggesture_tpu.datasets.beatx import StubFeatureExtractor
+
+        chunk_ext = _ext[0] or make_default_extractor()
+        if chunk_ext is None:
+            logger.warning(
+                "no HF featurizers available — per-chunk re-extraction uses "
+                "the deterministic stub (consistent with stub-built caches)")
+            chunk_ext = StubFeatureExtractor()
+
     ex = slice_chunk(test_ds[0], 0, window, fps)
     ex_batch = device_batch(collate([ex]))
     params = init_params(model, jax.random.PRNGKey(0), ex_batch)
@@ -225,6 +267,8 @@ def main():
 
         for k, s in enumerate(starts):
             chunk = slice_chunk(rec, s, s + window, fps)
+            if chunk_ext is not None:
+                refeaturize_chunk(chunk, chunk_ext)
             batch = device_batch(collate([chunk]))
             re_dict = None
             if db is not None:
