@@ -20,6 +20,11 @@ base_data_cfg = dict(
     stride=5,
     pose_length=motion_length,
     deps_path="datasets/assets_deps/",
+    # SMPL-X body model for foot-contact FK during cache build (hard
+    # requirement unless allow_fake_contacts is set)
+    smplx_asset="datasets/assets_deps/smplx_models/smplx/"
+                "SMPLX_NEUTRAL_2020.npz",
+    allow_fake_contacts=False,
     training_speakers=list(range(1, 31)),
     pose_fps=motion_fps,
     audio_sr=audio_sr,

@@ -169,6 +169,8 @@ def beatx_config_from(dcfg: Mapping[str, Any]) -> BeatXConfig:
         debug=_get(dcfg, "debug", False),
         tiny=_get(dcfg, "tiny", False),
         new_cache=_get(dcfg, "new_cache", False),
+        smplx_asset=_get(dcfg, "smplx_asset", None),
+        allow_fake_contacts=_get(dcfg, "allow_fake_contacts", False),
     )
 
 

@@ -334,6 +334,11 @@ class BeatXConfig:
     debug: bool = False   # 10 files
     tiny: bool = False    # 1 file
     new_cache: bool = False
+    # SMPL-X npz used for foot-contact FK during cache build; a cache built
+    # without it gets all-ones contacts, which silently corrupts training —
+    # hence the hard error unless allow_fake_contacts is set (tests).
+    smplx_asset: Optional[str] = None
+    allow_fake_contacts: bool = False
 
 
 def window_starts(n_pose_frames: int, cfg: BeatXConfig, is_test: bool
@@ -400,9 +405,17 @@ def featurize_clip(
             fj[1:].transpose(1, 0, 2) - fj[:-1].transpose(1, 0, 2), axis=-1
         )
         contacts = (feetv < 0.01).astype(np.float32).T
-    else:
+    elif cfg.allow_fake_contacts:
         warnings.warn("no SMPL-X model provided; foot contacts set to 1")
         contacts = np.ones((n, 4), np.float32)
+    else:
+        raise RuntimeError(
+            "featurize_clip needs an SMPL-X model for foot-contact FK "
+            "(reference beatx_dataset.py:381-424); building a cache without "
+            "one would train on all-ones contact bits. Set "
+            "BeatXConfig.smplx_asset to the SMPLX_NEUTRAL_2020.npz path, or "
+            "set allow_fake_contacts=True to accept degraded contacts "
+            "(tests only).")
 
     parts = split_pose(pose)
     pose_with_contacts = np.concatenate([pose, contacts], axis=1)  # 169-d

@@ -243,6 +243,17 @@ def build_cache(cfg: BeatXConfig, extractor: Optional[FeatureExtractor] = None,
         extractor = MelFeatureExtractor(cfg.audio_rep, cfg.num_mels,
                                         cfg.hop_length,
                                         text_extractor=extractor)
+    if smplx_model is None and cfg.smplx_asset:
+        if os.path.exists(cfg.smplx_asset):
+            from ..models.smplx import load_smplx
+
+            smplx_model = load_smplx(cfg.smplx_asset)
+            logger.info("loaded SMPL-X asset %s for contact FK",
+                        cfg.smplx_asset)
+        elif not cfg.allow_fake_contacts:
+            raise FileNotFoundError(
+                f"BeatXConfig.smplx_asset={cfg.smplx_asset!r} does not exist "
+                "— required for foot-contact FK during cache build")
     files = select_files(cfg, additional_data)
     logger.info("building cache %s from %d clips", cache.path, len(files))
     is_test = cfg.split == "test"

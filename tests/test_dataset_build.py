@@ -91,6 +91,7 @@ def beat2_root(tmp_path_factory):
 
 
 def _cfg(root, tmp, **kw):
+    kw.setdefault("allow_fake_contacts", True)  # no SMPL-X asset in tests
     return BeatXConfig(data_root=root, cache_dir=os.path.join(tmp, "cache"),
                        **kw)
 
@@ -117,6 +118,23 @@ def test_parsers(beat2_root):
     assert prom[0] == ("hello", 0.4, 0.9, 1.2)
     wave = load_wav(os.path.join(beat2_root, "wave16k", "2_scott_0_1_1.wav"))
     assert wave.dtype == np.float32 and abs(wave).max() <= 1.0
+
+
+def test_missing_contacts_hard_fail(beat2_root, tmp_path):
+    """A cache build without an SMPL-X model must refuse to degrade contacts
+    silently (all-ones bits would corrupt training)."""
+    import pytest
+
+    cfg = _cfg(beat2_root, str(tmp_path), split="train", pose_length=150,
+               stride=75, allow_fake_contacts=False)
+    with pytest.raises(RuntimeError, match="foot-contact"):
+        build_dataset(cfg, StubFeatureExtractor())
+    # and a configured-but-missing asset path fails fast
+    cfg2 = _cfg(beat2_root, str(tmp_path) + "2", split="train",
+                pose_length=150, stride=75, allow_fake_contacts=False,
+                smplx_asset="/nonexistent/SMPLX.npz")
+    with pytest.raises(FileNotFoundError, match="smplx_asset"):
+        build_dataset(cfg2, StubFeatureExtractor())
 
 
 def test_build_cache_and_serve(beat2_root, tmp_path):

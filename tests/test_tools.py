@@ -58,6 +58,9 @@ def _opts(ws, root):
             f"data.train.cache_path={ws}/cache",
             f"data.val.cache_path={ws}/cache",
             f"data.test.cache_path={ws}/cache",
+            "data.train.allow_fake_contacts=True",
+            "data.val.allow_fake_contacts=True",
+            "data.test.allow_fake_contacts=True",
             f"model.model.retrieval_cfg.cache_path={ws}/retr_cache"]
 
 
