@@ -947,7 +947,10 @@ class StagedGenerator:
         results = {f"pred_{k}": v for k, v in decoded.items()}
         results["prev_latentout"] = out
         results["output_latents"] = out
-        results["gt_latents"] = z_gt
+        # NOTE: no gt_latents key — the single-dispatch pipelines never
+        # encode GT motion, so the return contract is identical across every
+        # option combination (the reference's forward_test returns none
+        # either, diffusion_architecture.py:188-420).
         return results
 
 

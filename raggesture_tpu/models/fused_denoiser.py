@@ -377,7 +377,10 @@ def fused_denoise_ctx(
         if packed_layers is None:
             packed_layers = pack_layers(p, c)
         if ctx3_list is None:
-            ctx3_list = stack_layer_contexts(c, ctx_cache)
+            # keep context precision consistent with the weight packs (an
+            # f32 pack must not be paired with bf16-rounded contexts)
+            ctx3_list = stack_layer_contexts(
+                c, ctx_cache, dtype=packed_layers[0]["mats"].dtype)
         for i in range(c.num_layers):
             seg = adaln_row[i * 5 * two_d:(i + 1) * 5 * two_d].reshape(
                 5, two_d)
@@ -452,13 +455,15 @@ def fused_denoise_ctx(
     return _dense(h, p["out"])
 
 
-def stack_layer_contexts(dcfg: DenoiserConfig, ctx_cache: Dict):
-    """Per-layer (B, 3, D, D) bf16 context stacks for the layer kernel —
+def stack_layer_contexts(dcfg: DenoiserConfig, ctx_cache: Dict,
+                         dtype=jnp.bfloat16):
+    """Per-layer (B, 3, D, D) context stacks for the layer kernel —
     conditions-dependent, so built once per sampling RUN (outside the
-    scan), unlike the per-generator weight packs."""
+    scan), unlike the per-generator weight packs.  ``dtype`` must match the
+    weight-pack precision (bf16 by default; see pack_decoder_layer)."""
     return tuple(
         jnp.stack([ctx_cache[(i, key)] for key in COND_KEYS],
-                  axis=1).astype(jnp.bfloat16)
+                  axis=1).astype(dtype)
         for i in range(dcfg.num_layers))
 
 
