@@ -247,8 +247,9 @@ class LocalSkeletonEncoder(nn.Module):
             layers.append(
                 SkeletonResidualLayer(
                     res_mask=conv_mask(nbrs, in_per, out_per, c.kernel_size),
-                    short_mask=conv_mask([[j] for j in range(n_edges)],
-                                         in_per, out_per, 1),
+                    # the reference shortcut SkeletonConv uses the FULL
+                    # neighbour list too (skeleton.py:573-575), not identity
+                    short_mask=conv_mask(nbrs, in_per, out_per, 1),
                     pool_w=pool_matrix(pooling_list, n_edges, out_per),
                     do_pool=do_pool,
                     kernel=c.kernel_size,
