@@ -182,6 +182,13 @@ class FlaxHFFeatureExtractor(FeatureExtractor):
             lambda ids, mask: self.bert(
                 input_ids=ids, attention_mask=mask,
                 output_hidden_states=True).hidden_states)
+        # probe both paths NOW: transformers' Flax wav2vec2 rejects some
+        # released configs at call time (e.g. wav2vec2-base-960h's
+        # do_stable_layer_norm=False raises NotImplementedError), and a
+        # failure here lets make_default_extractor fall back to the torch
+        # extractor instead of crashing mid cache build
+        self.audio_features(np.zeros(1600, np.float32), 16000)
+        self.word_embeddings("a")
 
     def audio_features(self, wave, sr):
         import jax.numpy as jnp

@@ -54,6 +54,20 @@ def replicate_tree(tree, mesh: Mesh):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), tree)
 
 
+def _shard_map(fn, mesh: Mesh, in_specs, out_specs):
+    """shard_map across jax versions (import location + check flag rename)."""
+    try:
+        from jax import shard_map  # jax >= 0.8
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
+    import inspect
+
+    flag = ("check_vma" if "check_vma" in
+            inspect.signature(shard_map).parameters else "check_rep")
+    return shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                     **{flag: False})
+
+
 def sharded_sampler(gen, mesh: Mesh, axis_name: str = DATA_AXIS):
     """Data-parallel sampling over the mesh (the serving-scale path).
 
@@ -68,11 +82,6 @@ def sharded_sampler(gen, mesh: Mesh, axis_name: str = DATA_AXIS):
     The rng is replicated; per-device noise divergence comes from the
     sharded start noise (and eta=0 DDIM consumes no in-loop randomness).
     """
-    try:
-        from jax import shard_map  # jax >= 0.8
-    except ImportError:  # pragma: no cover - older jax
-        from jax.experimental.shard_map import shard_map
-
     def fn(params, noise, rng, conds, token_mask, coef_table, js, pro):
         in_seq = jnp.zeros_like(noise)
         return gen._ddim_plain.__wrapped__(
@@ -82,17 +91,9 @@ def sharded_sampler(gen, mesh: Mesh, axis_name: str = DATA_AXIS):
 
     rep = P()
     bat = P(axis_name)
-    import inspect
-
-    # jax >= 0.8 renamed check_rep -> check_vma
-    flag = ("check_vma" if "check_vma" in
-            inspect.signature(shard_map).parameters else "check_rep")
-    sm = shard_map(
-        fn, mesh=mesh,
-        in_specs=(rep, bat, rep, bat, bat, rep, rep, rep),
-        out_specs=bat,
-        **{flag: False},
-    )
+    sm = _shard_map(fn, mesh,
+                    in_specs=(rep, bat, rep, bat, bat, rep, rep, rep),
+                    out_specs=bat)
     jitted = jax.jit(sm)
 
     def sample_fn(params, noise, rng, conds, token_mask, coef_table, js):
@@ -100,5 +101,37 @@ def sharded_sampler(gen, mesh: Mesh, axis_name: str = DATA_AXIS):
         # it tracks gen.params via the StagedGenerator.params setter
         return jitted(params, noise, rng, conds, token_mask, coef_table,
                       js, gen._pro)
+
+    return sample_fn
+
+
+def sharded_guided_sampler(gen, mesh: Mesh, axis_name: str = DATA_AXIS):
+    """Data-parallel insertion-guided sampling over the mesh.
+
+    Wraps a StagedGenerator's guided stage (inversion-spliced start noise +
+    per-step guidance targets) in shard_map: like :func:`sharded_sampler`,
+    every batch-dim tensor is sharded over the data axis and the loop runs
+    collective-free per device.  ``inv_all`` carries the batch on axis 1
+    ((num_timesteps, B, T, D) — see architecture._splice_apply), hence its
+    P(None, data) spec; guidance_iters and the schedule tables replicate.
+
+    Returns sample_fn(params, noise, rng, conds, token_mask, coef_table,
+    js, inv_all, guidance_iters, guidance_lr, init_in_seq) -> latents.
+    """
+    rep = P()
+    bat = P(axis_name)
+    inv = P(None, axis_name)
+    sm = _shard_map(
+        gen._guided.__wrapped__, mesh,
+        in_specs=(rep, bat, rep, bat, bat, rep, rep, inv, rep, rep, bat,
+                  rep),
+        out_specs=bat)
+    jitted = jax.jit(sm)
+
+    def sample_fn(params, noise, rng, conds, token_mask, coef_table, js,
+                  inv_all, guidance_iters, guidance_lr, init_in_seq):
+        return jitted(params, noise, rng, conds, token_mask, coef_table, js,
+                      inv_all, guidance_iters, guidance_lr, init_in_seq,
+                      gen._pro)
 
     return sample_fn

@@ -42,27 +42,49 @@ def single_device_test(generate_fn: Callable[[Dict], Dict], data_loader,
     return results
 
 
+def encode_result_blob(results: List[Dict]) -> np.ndarray:
+    """Per-host result list -> a uint8 byte blob for allgather."""
+    import pickle
+
+    return np.frombuffer(pickle.dumps(results), dtype=np.uint8)
+
+
+def pad_result_blob(blob: np.ndarray, size: int) -> np.ndarray:
+    """Zero-pad a blob to ``size`` (allgather needs equal shapes)."""
+    padded = np.zeros(size, np.uint8)
+    padded[: blob.size] = blob
+    return padded
+
+
+def merge_result_blobs(gathered: np.ndarray, sizes) -> List[Dict]:
+    """(R, max_size) gathered blobs + true per-rank sizes -> the
+    concatenated result list in rank order."""
+    import pickle
+
+    results: List[Dict] = []
+    for rank in range(gathered.shape[0]):
+        results.extend(
+            pickle.loads(gathered[rank][: int(sizes[rank])].tobytes()))
+    return results
+
+
 def multi_device_test(generate_fn: Callable[[Dict], Dict], data_loader,
                       max_batches: Optional[int] = None) -> List[Dict]:
     """Multi-host variant (mogen/apis/test.py:48-160): each process serves
     its sampler shard; per-host result lists are concatenated via a
-    process-level allgather of host bytes."""
+    process-level allgather of host bytes.
+
+    Every host materializes all results in RAM (like the reference's
+    all_gather path, test.py:118-160) — fine at gesture-clip scale; shard
+    to disk before gathering if results ever outgrow host memory."""
     local = single_device_test(generate_fn, data_loader, max_batches)
     if jax.process_count() == 1:
         return local
     from jax.experimental import multihost_utils
-    import pickle
 
-    blob = np.frombuffer(pickle.dumps(local), dtype=np.uint8)
-    # pad to the max length across hosts (allgather needs equal shapes)
-    n = np.asarray([blob.size], np.int32)
-    sizes = multihost_utils.process_allgather(n).reshape(-1)
-    mx = int(sizes.max())
-    padded = np.zeros(mx, np.uint8)
-    padded[: blob.size] = blob
-    gathered = multihost_utils.process_allgather(padded)
-    results: List[Dict] = []
-    for rank in range(jax.process_count()):
-        results.extend(pickle.loads(gathered[rank][: int(sizes[rank])]
-                                    .tobytes()))
-    return results
+    blob = encode_result_blob(local)
+    sizes = multihost_utils.process_allgather(
+        np.asarray([blob.size], np.int32)).reshape(-1)
+    gathered = multihost_utils.process_allgather(
+        pad_result_blob(blob, int(sizes.max())))
+    return merge_result_blobs(np.asarray(gathered), sizes)

@@ -10,6 +10,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from raggesture_tpu.datasets.sampler import DataLoader, EpochSampler, build_dataloader
 from raggesture_tpu.datasets.wrappers import ConcatDataset, RepeatDataset
@@ -265,6 +266,93 @@ def test_sharded_sampler_multichip():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
     # output really is sharded over the mesh
     assert len(out.sharding.device_set) == n_dev
+
+
+def test_sharded_guided_sampler_multichip():
+    """Guided (inversion-target) sampling over the virtual mesh matches the
+    single-device guided loop."""
+    from raggesture_tpu.models.architecture import (
+        StagedGenerator,
+        guidance_iters_schedule,
+    )
+    from raggesture_tpu.models.conditioning import (
+        joint_scale_vector,
+        scale_func_table,
+    )
+    from raggesture_tpu.parallel.mesh import (
+        batch_sharding,
+        make_mesh,
+        replicate_tree,
+        sharded_guided_sampler,
+    )
+
+    n_dev = jax.device_count()
+    cfg = tiny_arch_config()
+    model = MotionDiffusionModel(cfg)
+    B = n_dev
+    batch = tiny_batch(batch=B)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "vae": jax.random.PRNGKey(1)},
+        tiny_batch(batch=2))
+    sched = cfg.diffusion_test.schedule()
+    gen = StagedGenerator(model, params, sched, fused=False)
+
+    z, mask = gen._encode(params, batch)
+    conds = gen._conds(params, {"word": batch["word"],
+                                "audio": batch["audio"],
+                                "speaker_ids": batch["speaker_ids"]})
+    coef = scale_func_table(jax.random.PRNGKey(1), sched, cfg.scale_func,
+                            cfg.diffusion_train.diffusion_steps)
+    js = joint_scale_vector(cfg.denoiser)
+    noise = jax.random.normal(jax.random.PRNGKey(2), z.shape)
+    S = sched.num_timesteps
+    inv_all = jax.random.normal(jax.random.PRNGKey(4),
+                                (S, *z.shape)) * 0.1
+    gi = guidance_iters_schedule("all_one", S)
+    lr = 0.05
+    in_seq = jnp.zeros_like(noise)
+
+    ref = gen._guided(params, noise, jax.random.PRNGKey(3), conds, mask,
+                      coef, js, inv_all, gi, lr, in_seq, gen._pro)
+
+    mesh = make_mesh()
+    sample = sharded_guided_sampler(gen, mesh)
+    bsh = batch_sharding(mesh)
+    put = lambda x: jax.device_put(x, bsh)
+    out = sample(replicate_tree(params, mesh), put(noise),
+                 jax.random.PRNGKey(3),
+                 jax.tree_util.tree_map(put, conds), put(mask),
+                 replicate_tree(coef, mesh), replicate_tree(js, mesh),
+                 jax.device_put(inv_all, NamedSharding(
+                     mesh, P(None, "data"))),
+                 replicate_tree(gi, mesh), lr, put(in_seq))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+    assert len(out.sharding.device_set) == n_dev
+
+
+def test_result_blob_gather_roundtrip():
+    """The multi-host result gather's pure split/pad/merge math (simulated
+    3-rank allgather without multiple processes)."""
+    from raggesture_tpu.train.inference import (
+        encode_result_blob,
+        merge_result_blobs,
+        pad_result_blob,
+    )
+
+    per_rank = [
+        [{"sample_name": "a", "x": np.arange(5)}],
+        [{"sample_name": "b", "x": np.zeros(2)},
+         {"sample_name": "c", "x": np.ones(7)}],
+        [],  # a rank can legitimately produce nothing (round-up padding)
+    ]
+    blobs = [encode_result_blob(r) for r in per_rank]
+    sizes = np.asarray([b.size for b in blobs], np.int32)
+    mx = int(sizes.max())
+    gathered = np.stack([pad_result_blob(b, mx) for b in blobs])
+    merged = merge_result_blobs(gathered, sizes)
+    assert [r["sample_name"] for r in merged] == ["a", "b", "c"]
+    np.testing.assert_array_equal(merged[0]["x"], np.arange(5))
+    np.testing.assert_array_equal(merged[2]["x"], np.ones(7))
 
 
 def test_train_model_with_validation(tmp_path):
