@@ -6,20 +6,143 @@ latents, 8-layer denoiser, 2x-batch condition mixing per step, respace
 Baseline obligation: >= 1 clip/s/chip (10x real-time for a 10 s clip);
 ``vs_baseline`` is measured clips/s divided by that 1.0 clip/s target.
 
-Prints ONE JSON line.
+Default (driver contract): prints ONE JSON line for the batch-1 config.
+``--all``: additionally measures every BASELINE.md config — batch scaling
+(8/32), the 4-part codec round-trip, guided inference (DDIM inversion +
+insertion guidance, decreasing_till_25, Q=2 exemplars; cold + warm
+inversion cache), and the training step @ device batch 128 — and writes
+``docs/BENCH_FULL.json`` with an analytic-MFU estimate per config.
+
+Timing: the TPU host is shared and transient load inflates a single window
+by up to ~1.5x; every number is the MINIMUM over several short windows in
+one process (docs/PERFORMANCE.md, methodology).
 """
 
+import argparse
 import json
 import time
 
 import jax
 import jax.numpy as jnp
 
+# TPU v5e peak dense bf16 throughput per chip (public spec); the MXU
+# receives bf16 operands under the default f32 matmul precision, so this is
+# the roofline the matmul FLOPs are measured against.
+V5E_PEAK_FLOPS = 197e12
+
+
+# ---------------------------------------------------------------------------
+# analytic matmul-FLOP model (documented in docs/PERFORMANCE.md)
+# ---------------------------------------------------------------------------
+
+
+def denoiser_flops_per_row(dcfg) -> float:
+    """Matmul FLOPs for ONE (T, D) row through the full denoiser stack.
+
+    Per layer (fused inference path): self-attention q/k/v projections +
+    per-head context build (k^T v) + context apply + stylization out_proj
+    (6 T*D^2 GEMMs); 3 cached-context cross-attentions at q/q@ctx/out each
+    (9); ca_mix (T,3D)@(3D,D) (3); FFN D->F->D + stylization (2F/D + 1).
+    Embedding/head/adaLN-table costs are per-run, not per-row — excluded
+    (<2%).  NOTE: the per-head context build/apply execute as DENSE (D, D)
+    GEMMs with block-diagonal structure, and are counted at their executed
+    size — so mfu measures hardware utilization, not minimal model FLOPs
+    (which would be 1/num_heads of those two terms)."""
+    T, D, F, L = (dcfg.num_tokens, dcfg.latent_dim, dcfg.ff_size,
+                  dcfg.num_layers)
+    unit = 2.0 * T * D * D
+    per_layer = (6 + 9 + 3 + (2.0 * F / D + 1)) * unit
+    return L * per_layer
+
+
+def vae_flops_per_clip(ccfg, encode: bool, decode: bool) -> float:
+    """Matmul FLOPs for the 4-part codec: each part is a 9-layer (8+middle)
+    skip-transformer over num_frames tokens; MHA q/k/v/o = 4 units, FFN
+    D->F->D = 2F/D units, skip linears 2D->D ~= 2 units per pair."""
+    T, D, F = ccfg.num_frames, ccfg.latent_dim, ccfg.ff_size
+    unit = 2.0 * T * D * D
+    n_layers = ccfg.num_layers + 1  # skip stack rounds to odd
+    per_stack = n_layers * (4 + 2.0 * F / D) * unit + 4 * 2 * unit
+    n_stacks = (1 if encode else 0) + (1 if decode else 0)
+    return 4 * n_stacks * per_stack
+
+
+def flops_plain_clip(cfg, steps: int = 50) -> float:
+    """One generated clip: 50 steps x 2 mixing rows + 4-part VAE decode."""
+    return (steps * 2 * denoiser_flops_per_row(cfg.denoiser)
+            + vae_flops_per_clip(cfg.codec, encode=False, decode=True))
+
+
+def flops_guided_clip(cfg, q: int, steps: int = 50, invert: bool = True
+                      ) -> float:
+    """Guided clip: plain + (optionally) the Q-row inversion scan.  The
+    insertion-guidance updates are analytic (no denoiser backward)."""
+    inv = steps * q * denoiser_flops_per_row(cfg.denoiser) if invert else 0.0
+    return flops_plain_clip(cfg, steps) + inv
+
+
+def flops_train_sample(cfg) -> float:
+    """One training sample: frozen codec encode (fwd) + denoiser fwd+bwd
+    (~3x fwd matmul FLOPs)."""
+    return (vae_flops_per_clip(cfg.codec, encode=True, decode=False)
+            + 3 * denoiser_flops_per_row(cfg.denoiser))
+
+
+# ---------------------------------------------------------------------------
+# timing
+# ---------------------------------------------------------------------------
+
+
+def best_of_trials(run, rng, trials: int = 4, iters: int = 10) -> float:
+    """Min mean-iteration wall time over ``trials`` windows (shared host)."""
+    best = float("inf")
+    for trial in range(trials):
+        t0 = time.perf_counter()
+        out = None
+        for i in range(iters):
+            out = run(jax.random.fold_in(rng, trial * iters + i))
+        jax.block_until_ready(out)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
+
+
+def make_guided_inputs(model, params, gen, cfg, batch):
+    """Synthetic Q=2 exemplar re_dict (two splice windows, own conds)."""
+    import numpy as np
+
+    z, mask = gen._encode(params, batch)
+    B = z.shape[0]
+    rng = np.random.RandomState(0)
+    q = 2
+    inv_lat = jnp.asarray(rng.randn(q, *z.shape[1:]).astype(np.float32))
+    inv_mask = jnp.ones((q, z.shape[1]), jnp.float32)
+    conds_core = {
+        "word": jnp.asarray(rng.randn(
+            q, 4, cfg.denoiser.text_latent_dim).astype(np.float32)),
+        "audio": jnp.asarray(rng.randn(
+            q, 499, cfg.denoiser.audio_latent_dim).astype(np.float32)),
+        "speaker_ids": jnp.asarray([1, 2], jnp.int32),
+    }
+    splice = jnp.asarray([[0, 0, 0, 3], [0, 5, 2, 3]][:q], jnp.int32)
+    assert B == 1
+    return {"inv_latents": inv_lat, "inv_mask": inv_mask,
+            "inv_conds": conds_core, "splice": splice, "num_queries": q}
+
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--all", action="store_true",
+                    help="measure every BASELINE.md config and write "
+                         "docs/BENCH_FULL.json")
+    args = ap.parse_args()
+
     from raggesture_tpu.datasets.fixtures import full_arch_config, synthetic_batch
     from raggesture_tpu.models.architecture import (
-        MotionDiffusionModel, StagedGenerator, init_params,
+        InferenceOptions,
+        MotionDiffusionModel,
+        StagedGenerator,
+        guidance_iters_schedule,
+        init_params,
     )
     from raggesture_tpu.utils.env import setup_compilation_cache
 
@@ -30,40 +153,156 @@ def main():
                             audio_frames=499)
     params = init_params(model, jax.random.PRNGKey(0), batch)
     sched = cfg.diffusion_test.schedule()
-    # fused=True: Pallas self-attention kernel + stacked adaLN (TPU only;
+    on_tpu = jax.default_backend() == "tpu"
+    # fused=True: Pallas whole-layer kernel + stacked adaLN (TPU only;
     # falls back to the XLA twin elsewhere)
-    gen = StagedGenerator(model, params, sched,
-                          fused=jax.default_backend() == "tpu")
-
-    def run(rng):
-        # single-dispatch plain-generation pipeline (conds -> scan -> decode
-        # in ONE jit): one host->device round trip per clip
-        out = gen.sample(batch, rng)
-        return out["pred_upper"], out["pred_hands"], out["output_latents"]
-
-    # warmup / compile
+    gen = StagedGenerator(model, params, sched, fused=on_tpu)
     r = jax.random.PRNGKey(0)
-    jax.block_until_ready(run(r))
+    peak = V5E_PEAK_FLOPS if on_tpu else float("nan")
+    steps = sched.num_timesteps
 
-    # best-of-trials: the TPU host is shared, and transient load inflates a
-    # single timing window by up to ~1.5x — the minimum over several short
-    # windows is the reproducible number (see docs/PERFORMANCE.md)
-    best_dt = float("inf")
-    for trial in range(4):
-        n_iters = 10
-        t0 = time.perf_counter()
-        for i in range(n_iters):
-            out = run(jax.random.fold_in(r, trial * n_iters + i))
-        jax.block_until_ready(out)
-        best_dt = min(best_dt, (time.perf_counter() - t0) / n_iters)
+    def run_plain(rng):
+        out = gen.sample(batch, rng)
+        return out["output_latents"]
 
-    clips_per_sec = 1.0 / best_dt
-    print(json.dumps({
+    jax.block_until_ready(run_plain(r))  # warmup/compile
+    dt1 = best_of_trials(run_plain, r)
+    clips_per_sec = 1.0 / dt1
+    headline = {
         "metric": "150-frame gesture clips/sec/chip (50-step DDIM, batch 1, incl. VAE decode)",
         "value": round(clips_per_sec, 4),
         "unit": "clips/s/chip",
         "vs_baseline": round(clips_per_sec / 1.0, 4),
-    }))
+    }
+
+    if not args.all:
+        print(json.dumps(headline))
+        return
+
+    full = {"configs": {}, "methodology":
+            "best-of-4x10 trial minima in one process (shared TPU host, "
+            "docs/PERFORMANCE.md); MFU = analytic matmul FLOPs "
+            "(bench.py flop model) / 197 TFLOP/s v5e bf16 peak"}
+    fp = flops_plain_clip(cfg, steps)
+    full["configs"]["plain_b1"] = {
+        "clips_per_sec": round(clips_per_sec, 3),
+        "gflops_per_clip": round(fp / 1e9, 1),
+        "mfu": round(fp * clips_per_sec / peak, 4),
+    }
+
+    # batch scaling (BASELINE config 1 at serving batch sizes)
+    for B in (8, 32):
+        bb = synthetic_batch(seed=0, batch=B, frames=cfg.codec.num_frames,
+                             audio_frames=499)
+
+        def run_b(rng, bb=bb):
+            return gen.sample(bb, rng)["output_latents"]
+
+        jax.block_until_ready(run_b(r))
+        dt = best_of_trials(run_b, r, trials=3, iters=4)
+        rate = B / dt
+        full["configs"][f"plain_b{B}"] = {
+            "clips_per_sec": round(rate, 3),
+            "gflops_per_clip": round(fp / 1e9, 1),
+            "mfu": round(fp * rate / peak, 4),
+        }
+
+    # codec round-trip (BASELINE config 2): 4-part encode -> decode
+    bb32 = synthetic_batch(seed=0, batch=32, frames=cfg.codec.num_frames,
+                           audio_frames=8)
+
+    roundtrip = jax.jit(lambda p, b: model.apply(
+        p, model.apply(p, b, rng=None, sample=False,
+                       method=model.encode_motion)[0],
+        method=model.decode_latents))
+
+    def run_codec(rng):
+        return roundtrip(params, bb32)["upper"]
+
+    jax.block_until_ready(run_codec(r))
+    dtc = best_of_trials(run_codec, r, trials=3, iters=4)
+    fv = vae_flops_per_clip(cfg.codec, encode=True, decode=True)
+    full["configs"]["codec_roundtrip_b32"] = {
+        "clips_per_sec": round(32 / dtc, 3),
+        "gflops_per_clip": round(fv / 1e9, 1),
+        "mfu": round(fv * 32 / dtc / peak, 4),
+    }
+
+    # guided inference (BASELINE config 3): Q=2, decreasing_till_25
+    re_dict = make_guided_inputs(model, params, gen, cfg, batch)
+    gi = guidance_iters_schedule("decreasing_till_25", steps)
+    opts = InferenceOptions(use_inversion=True, insertion_guidance=True,
+                            guidance_lr=0.1)
+
+    def run_guided_cold(rng):
+        return gen(batch, rng, opts=opts, guidance_iters=gi,
+                   re_dict=re_dict)["output_latents"]
+
+    jax.block_until_ready(run_guided_cold(r))
+    dtg = best_of_trials(run_guided_cold, r, trials=3, iters=4)
+    fg = flops_guided_clip(cfg, q=2, steps=steps, invert=True)
+    full["configs"]["guided_q2_cold"] = {
+        "clips_per_sec": round(1 / dtg, 3),
+        "gflops_per_clip": round(fg / 1e9, 1),
+        "mfu": round(fg / dtg / peak, 4),
+        "pct_of_plain": round(dt1 / dtg, 3),
+    }
+
+    # warm: memoized retrieval repeats exemplars -> inversion cache hits
+    re_named = dict(re_dict, inv_names=["bench_a", "bench_b"])
+
+    def run_guided_warm(rng):
+        return gen(batch, rng, opts=opts, guidance_iters=gi,
+                   re_dict=re_named)["output_latents"]
+
+    jax.block_until_ready(run_guided_warm(r))  # populates the cache
+    dtw = best_of_trials(run_guided_warm, r, trials=3, iters=4)
+    fgw = flops_guided_clip(cfg, q=2, steps=steps, invert=False)
+    full["configs"]["guided_q2_warm"] = {
+        "clips_per_sec": round(1 / dtw, 3),
+        "gflops_per_clip": round(fgw / 1e9, 1),
+        "mfu": round(fgw / dtw / peak, 4),
+        "pct_of_plain": round(dt1 / dtw, 3),
+    }
+
+    # training step (BASELINE config 5's training half): device batch 128
+    from raggesture_tpu.train.loop import (
+        OptimConfig,
+        create_train_state,
+        make_train_step,
+    )
+
+    tb = synthetic_batch(seed=1, batch=128, frames=cfg.codec.num_frames,
+                         audio_frames=499)
+    state, tx = create_train_state(model, params,
+                                   OptimConfig(total_steps=100))
+    step = jax.jit(make_train_step(model, tx, cfg.diffusion_train.schedule()),
+                   donate_argnums=(0,))
+    rng_t = jax.random.PRNGKey(5)
+    state, logs = step(state, tb, rng_t)  # compile
+    jax.block_until_ready(logs["recon_loss"])
+    best = float("inf")
+    for trial in range(3):
+        t0 = time.perf_counter()
+        for i in range(4):
+            state, logs = step(state, tb, jax.random.fold_in(rng_t, i))
+        jax.block_until_ready(logs["recon_loss"])
+        best = min(best, (time.perf_counter() - t0) / 4)
+    ft = flops_train_sample(cfg) * 128
+    full["configs"]["train_step_b128"] = {
+        "ms_per_step": round(best * 1e3, 2),
+        "samples_per_sec": round(128 / best, 1),
+        "gflops_per_step": round(ft / 1e9, 1),
+        "mfu": round(ft / best / peak, 4),
+    }
+
+    import os
+
+    os.makedirs("docs", exist_ok=True)
+    with open("docs/BENCH_FULL.json", "w") as f:
+        json.dump(full, f, indent=1)
+    print(json.dumps(full, indent=1))
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":

@@ -488,6 +488,21 @@ class StagedGenerator:
         self.sched = sched_test
         self.fused = fused
         self.merged_ca = merged_ca
+        # exemplar-inversion cache: the 50-step DDIM inversion of an
+        # exemplar depends only on (params, exemplar latents, its own
+        # conditions) — and memoized retrieval returns the SAME exemplars
+        # across many clips, so the trajectories are reused.  Keyed by the
+        # exemplar's sample name (re_dict["inv_names"]); each entry is an
+        # (S+1, T, D) stack (~4.5 MB at flagship size).
+        self.inv_cache_capacity = 64
+        self._inv_cache: Dict[str, jnp.ndarray] = {}
+        # assembled (stacked+padded) trajectories keyed by the exemplar-name
+        # tuple: repeat calls with the same exemplar set (the memoized-
+        # retrieval common case) dispatch ZERO assembly ops
+        self._inv_stack_cache: Dict[tuple, jnp.ndarray] = {}
+        # splice gather/mask memo: the numpy map build + 2 device puts cost
+        # real per-call latency on remote-TPU rigs
+        self._splice_memo: Dict[bytes, tuple] = {}
         # an explicitly-requested merged_ca wins over the default-on
         # layer kernel (fused_denoise_ctx checks layer_kernel first)
         self.layer_kernel = layer_kernel and not merged_ca
@@ -774,6 +789,41 @@ class StagedGenerator:
         self._guided_pipeline = jax.jit(
             guided_pipeline, static_argnames=("inversion_start_time",))
 
+        def guided_pipeline_cached(p, core, inv_stack, gather, smask, gi,
+                                   lr, rng, pro, inversion_start_time):
+            """guided_pipeline with the exemplar-inversion scan REMOVED:
+            ``inv_stack`` (S+1, Q, T, D) arrives precomputed (from the
+            per-exemplar inversion cache).  At full cache hit the guided
+            configuration costs the same scan as plain sampling plus the
+            analytic guidance updates."""
+            r_noise, r_coef, r_loop = jax.random.split(rng, 3)
+            conds = model.apply(p, core, method=model.encode_conditions)
+            token_mask = latent_motion_mask(cfg.denoiser,
+                                            core["motion_mask"])
+            B = token_mask.shape[0]
+            T, D = cfg.denoiser.num_tokens, cfg.denoiser.latent_dim
+            coef_table, noise = prep(r_coef, r_noise, (B, T, D))
+            start_noise, inv_all = _splice_apply(
+                noise, inv_stack, gather, smask, inversion_start_time, True)
+            qm = default_query_masks(cfg.denoiser, B)
+            js = joint_scale_vector(cfg.denoiser, cfg.per_joint_scale)
+            mf = build_model_fn(p, conds, token_mask, qm, coef_table, js,
+                                mixed=True, pro=pro)
+            out = S.ddim_guided_sample_loop(
+                mf, sched_test, start_noise, r_loop,
+                inverted_latents=inv_all, guidance_iters=gi,
+                guidance_lr=lr, init_in_seq=jnp.zeros_like(start_noise),
+                **self._common)
+            decoded = model.apply(p, out, method=model.decode_latents)
+            results = {f"pred_{k}": v for k, v in decoded.items()}
+            results["prev_latentout"] = out
+            results["output_latents"] = out
+            return results
+
+        self._guided_pipeline_cached = jax.jit(
+            guided_pipeline_cached,
+            static_argnames=("inversion_start_time",))
+
         self._refresh_prologue()
 
     @property
@@ -785,9 +835,63 @@ class StagedGenerator:
         # swapping parameters (EMA weights, a reloaded checkpoint) must
         # recompute the parameter-only prologue, or the pipelines would
         # mix the new params with the construction-time adaLN table /
-        # packed weights
+        # packed weights — and invalidates every cached inversion
         self._params = new_params
+        self._inv_cache.clear()
+        self._inv_stack_cache.clear()
         self._refresh_prologue()
+
+    def _cached_inv_stack(self, p, inv_lat, inv_mask, inv_core, names,
+                          q_bucket):
+        """(S+1, q_bucket, T, D) padded inversion trajectories with
+        per-exemplar caching.
+
+        Misses are inverted in ONE bucketed _invert call (power-of-two Q so
+        the jit compiles per bucket, not per distinct miss count); the
+        assembled padded stack is itself memoized by the exemplar-name
+        tuple, so repeat calls with the same exemplar set (memoized
+        retrieval) dispatch no assembly ops at all."""
+        skey = (tuple(names), q_bucket)
+        hit = self._inv_stack_cache.get(skey)
+        if hit is not None:
+            return hit
+        missing = [i for i, n in enumerate(names) if n not in self._inv_cache]
+        if missing:
+            Qm = len(missing)
+            Qb = 1 << max(Qm - 1, 0).bit_length()
+            idx = jnp.asarray(missing + [missing[0]] * (Qb - Qm))
+            sub_core = {k: jnp.asarray(v)[idx] for k, v in inv_core.items()}
+            conds = self._conds(p, sub_core)
+            stack = self._invert(p, inv_lat[idx], inv_mask[idx], conds,
+                                 self._pro)
+            for j, i in enumerate(missing):
+                self._inv_cache[names[i]] = stack[:, j]
+            while len(self._inv_cache) > self.inv_cache_capacity:
+                self._inv_cache.pop(next(iter(self._inv_cache)))
+        for n in names:  # LRU: mark the requested rows most-recent
+            self._inv_cache[n] = self._inv_cache.pop(n)
+        rows = [self._inv_cache[n] for n in names]
+        rows += [jnp.zeros_like(rows[0])] * (q_bucket - len(rows))
+        assembled = jnp.stack(rows, axis=1)
+        self._inv_stack_cache[skey] = assembled
+        while len(self._inv_stack_cache) > self.inv_cache_capacity:
+            self._inv_stack_cache.pop(next(iter(self._inv_stack_cache)))
+        return assembled
+
+    def _splice_maps_memo(self, splice, B: int):
+        """Memoized splice_maps: the gather/mask build is pure host data
+        layout + two device puts — worth skipping on repeat calls."""
+        import numpy as np
+
+        key = (np.asarray(splice).tobytes(), B)
+        hit = self._splice_memo.get(key)
+        if hit is None:
+            hit = splice_maps(self.model.cfg.denoiser, splice, B,
+                              self.model.cfg.denoiser.num_tokens)
+            self._splice_memo[key] = hit
+            while len(self._splice_memo) > 256:
+                self._splice_memo.pop(next(iter(self._splice_memo)))
+        return hit
 
     def _refresh_prologue(self):
         """One-time (per params) prologue: the adaLN step table + packed
@@ -860,20 +964,31 @@ class StagedGenerator:
             inv_core = _inv_conds_core(re_dict)
             inv_lat = jnp.asarray(re_dict["inv_latents"])
             inv_mask = jnp.asarray(re_dict["inv_mask"])
+            B = jnp.asarray(batch["motion_mask"]).shape[0]
+            gather, smask = self._splice_maps_memo(re_dict["splice"], B)
+            Q = inv_lat.shape[0]
+            Qb = 1 << max(Q - 1, 0).bit_length()
+            inv_names = re_dict.get("inv_names")
+            if (self.inv_cache_capacity > 0 and inv_names is not None
+                    and len(inv_names) == Q and re_dict.get("num_queries")):
+                # per-exemplar inversion caching: memoized retrieval repeats
+                # exemplars across clips, so their 50-step inversion scans
+                # amortize away and guided sampling approaches plain cost
+                stack = self._cached_inv_stack(p, inv_lat, inv_mask,
+                                               inv_core, list(inv_names), Qb)
+                return self._guided_pipeline_cached(
+                    p, core, stack, gather, smask, jnp.asarray(gi),
+                    opts.guidance_lr, rng, self._pro,
+                    inversion_start_time=int(opts.inversion_start_time))
             # the exemplar count varies per clip with retrieval hits;
             # bucket it to the next power of two (zero rows, mask 0) so
             # the monolithic pipeline compiles once per bucket, not once
             # per distinct Q (the splice gather never references pad rows)
-            Q = inv_lat.shape[0]
-            Qb = 1 << max(Q - 1, 0).bit_length()
             if Qb != Q:
                 padq = lambda a: jnp.concatenate(
                     [a, jnp.zeros((Qb - Q,) + a.shape[1:], a.dtype)], axis=0)
                 inv_lat, inv_mask = padq(inv_lat), padq(inv_mask)
                 inv_core = {k: padq(v) for k, v in inv_core.items()}
-            B = jnp.asarray(batch["motion_mask"]).shape[0]
-            gather, smask = splice_maps(dcfg, re_dict["splice"], B,
-                                        dcfg.num_tokens)
             return self._guided_pipeline(
                 p, core, inv_lat, inv_mask, inv_core, gather, smask,
                 jnp.asarray(gi), opts.guidance_lr, rng, self._pro,

@@ -520,6 +520,9 @@ class RetrievalDatabase:
             },
             "splice": np.asarray(splice_rows, np.int32).reshape(-1, 4)
             if splice_rows else np.zeros((0, 4), np.int32),
+            # per-row exemplar identities, aligned with inv_latents rows —
+            # the StagedGenerator's inversion cache keys on these
+            "inv_names": list(exemplar_names) if Q else [],
             "num_queries": Q,
         }
         return re_dict

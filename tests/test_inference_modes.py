@@ -182,3 +182,60 @@ def test_guided_pipeline_q_bucketing_is_exact():
     for k in out2:
         np.testing.assert_array_equal(np.asarray(out2[k]),
                                       np.asarray(out3[k]))
+
+
+def test_guided_inversion_cache_matches_fused_pipeline():
+    """re_dict with inv_names routes through the inversion cache +
+    guided_pipeline_cached; results must match the fused (inversion-inside)
+    pipeline, cold and warm, and warm calls must not re-invert."""
+    import numpy as np
+
+    from raggesture_tpu.datasets.fixtures import tiny_arch_config, tiny_batch
+    from raggesture_tpu.models.architecture import (
+        InferenceOptions,
+        MotionDiffusionModel,
+        StagedGenerator,
+        guidance_iters_schedule,
+    )
+
+    cfg = tiny_arch_config()
+    model = MotionDiffusionModel(cfg)
+    batch = tiny_batch(batch=2)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "vae": jax.random.PRNGKey(1)},
+        batch)
+    sched = cfg.diffusion_test.schedule()
+    gen = StagedGenerator(model, params, sched, fused=True)
+    z, mask = gen._encode(params, batch)
+    conds_core = {"word": batch["word"], "audio": batch["audio"],
+                  "speaker_ids": batch["speaker_ids"]}
+    splice = jnp.asarray([[0, 0, 0, 1], [1, 1, 1, 1]], jnp.int32)
+    gi = guidance_iters_schedule("constant", sched.num_timesteps)
+    opts = InferenceOptions(use_inversion=True, insertion_guidance=True,
+                            guidance_lr=0.05)
+    r = jax.random.PRNGKey(11)
+    base = {"inv_latents": z, "inv_mask": mask, "inv_conds": conds_core,
+            "splice": splice, "num_queries": 2}
+
+    ref = gen(batch, r, opts=opts, guidance_iters=gi, re_dict=base)
+
+    named = dict(base, inv_names=["ex_a", "ex_b"])
+    cold = gen(batch, r, opts=opts, guidance_iters=gi, re_dict=named)
+    assert set(gen._inv_cache) == {"ex_a", "ex_b"}
+    warm = gen(batch, r, opts=opts, guidance_iters=gi, re_dict=named)
+    for k in ref:
+        np.testing.assert_allclose(np.asarray(cold[k]), np.asarray(ref[k]),
+                                   atol=2e-4)
+        np.testing.assert_array_equal(np.asarray(cold[k]),
+                                      np.asarray(warm[k]))
+
+    # warm path must not invert again: poison _invert and re-run
+    gen._invert = None
+    again = gen(batch, r, opts=opts, guidance_iters=gi, re_dict=named)
+    for k in ref:
+        np.testing.assert_array_equal(np.asarray(warm[k]),
+                                      np.asarray(again[k]))
+
+    # params swap invalidates the cache
+    gen.params = params
+    assert gen._inv_cache == {}
