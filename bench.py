@@ -81,11 +81,26 @@ def flops_guided_clip(cfg, q: int, steps: int = 50, invert: bool = True
     return flops_plain_clip(cfg, steps) + inv
 
 
-def flops_train_sample(cfg) -> float:
-    """One training sample: frozen codec encode (fwd) + denoiser fwd+bwd
-    (~3x fwd matmul FLOPs)."""
+def train_cond_kv_flops(cfg, audio_frames: int, word_frames: int) -> float:
+    """Per-sample K/V projections over the raw condition timelines.
+
+    The inference path caches each layer's (D, D) cross-attention context
+    once per run, so :func:`denoiser_flops_per_row` counts cross-attention
+    at cached-context cost — but the TRAINING forward projects K/V over the
+    full audio (499 frames) / word (150 frames) timelines in every layer,
+    and those projections are trainable (fwd + bwd ~ 3x fwd)."""
+    D, L = cfg.denoiser.latent_dim, cfg.denoiser.num_layers
+    per_layer_fwd = 2 * 2.0 * (audio_frames + word_frames + 1) * D * D
+    return 3 * L * per_layer_fwd
+
+
+def flops_train_sample(cfg, audio_frames: int = 499,
+                       word_frames: int = 150) -> float:
+    """One training sample: frozen codec encode (fwd only) + denoiser
+    fwd+bwd (~3x fwd matmul FLOPs) + condition K/V projections fwd+bwd."""
     return (vae_flops_per_clip(cfg.codec, encode=True, decode=False)
-            + 3 * denoiser_flops_per_row(cfg.denoiser))
+            + 3 * denoiser_flops_per_row(cfg.denoiser)
+            + train_cond_kv_flops(cfg, audio_frames, word_frames))
 
 
 # ---------------------------------------------------------------------------
@@ -294,6 +309,40 @@ def main():
         "samples_per_sec": round(128 / best, 1),
         "gflops_per_step": round(ft / 1e9, 1),
         "mfu": round(ft / best / peak, 4),
+    }
+
+    # multi-step dispatch (runner multi_step=8, the flagship-config default):
+    # 8 optimizer steps per jitted call amortize the ~3000-leaf argument
+    # marshaling that dominates per-step dispatch on remote-hosted TPUs
+    import numpy as _np
+
+    from raggesture_tpu.train.loop import make_multi_train_step
+
+    K = 8
+    # device-resident stack: host->device transfer is the loader's job
+    # (prefetch overlaps it); the bench measures the compute+dispatch path,
+    # matching the per-step config whose batch is transfer-cached by jax
+    stb = jax.block_until_ready(jax.device_put(
+        {k: _np.broadcast_to(_np.asarray(v),
+                             (K,) + _np.asarray(v).shape).copy()
+         for k, v in tb.items()}))
+    multi = jax.jit(
+        make_multi_train_step(model, tx, cfg.diffusion_train.schedule()),
+        donate_argnums=(0,))
+    state, logs_k = multi(state, stb, rng_t)  # compile
+    jax.block_until_ready(logs_k["recon_loss"])
+    best_m = float("inf")
+    for trial in range(3):
+        t0 = time.perf_counter()
+        for i in range(2):
+            state, logs_k = multi(state, stb, rng_t)
+        jax.block_until_ready(logs_k["recon_loss"])
+        best_m = min(best_m, (time.perf_counter() - t0) / (2 * K))
+    full["configs"][f"train_multistep{K}_b128"] = {
+        "ms_per_step": round(best_m * 1e3, 2),
+        "samples_per_sec": round(128 / best_m, 1),
+        "gflops_per_step": round(ft / 1e9, 1),
+        "mfu": round(ft / best_m / peak, 4),
     }
 
     import os

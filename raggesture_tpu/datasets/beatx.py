@@ -624,6 +624,7 @@ def collate(records: List[Dict]) -> Dict:
         "motion_hands", "trans", "facial", "beta", "audio", "word",
         "text_feature", "sem_score", "emo", "contact", "motion_mask",
         "motion_length", "speaker_id", "sample_idx",
+        "latent_mu", "latent_logvar",  # frozen-codec latent cache
     )
     for k in stack_fields:
         if k not in records[0]:

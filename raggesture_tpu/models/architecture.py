@@ -117,6 +117,16 @@ class MotionDiffusionModel(nn.Module):
         return self.codec.encode(feats, batch.get("motion_mask"), rng=rng,
                                  sample=sample)
 
+    def encode_motion_dist(self, batch: Dict[str, jnp.ndarray]):
+        """(mu, logvar) at the 43-token layout — the frozen-codec latent
+        cache's encode (see GestureCodec.encode_dist)."""
+        feats = part_features(
+            batch["motion_upper"], batch["motion_lower"], batch["motion_face"],
+            batch["motion_hands"], batch["trans"], batch["facial"],
+            batch["contact"],
+        )
+        return self.codec.encode_dist(feats, batch.get("motion_mask"))
+
     def decode_latents(self, z):
         return self.codec.decode(z)
 
@@ -232,9 +242,19 @@ def training_loss(
     cfg = model.cfg
     r_enc, r_t, r_noise, r_cond, r_drop = jax.random.split(rng, 5)
 
-    z0, token_mask = model.apply(
-        params, batch, rng=r_enc, sample=True, method=model.encode_motion
-    )
+    if "latent_mu" in batch:
+        # frozen-codec latent cache (datasets/latent_cache.py): z0 is drawn
+        # from the precomputed per-window (mu, logvar) — distributionally
+        # IDENTICAL to a live rsampling encode (fresh eps per step either
+        # way) minus ~25 GFLOP/sample of frozen encode (docs/PERFORMANCE.md)
+        mu = batch["latent_mu"].astype(jnp.float32)
+        std = jnp.exp(0.5 * batch["latent_logvar"].astype(jnp.float32))
+        z0 = mu + std * jax.random.normal(r_enc, mu.shape, mu.dtype)
+        token_mask = latent_motion_mask(cfg.denoiser, batch["motion_mask"])
+    else:
+        z0, token_mask = model.apply(
+            params, batch, rng=r_enc, sample=True, method=model.encode_motion
+        )
     # the codec is frozen (reference: requires_grad=False VAEs +
     # VAE_FreezeHook) — stop_gradient lets XLA DCE the codec backward
     z0 = jax.lax.stop_gradient(z0)

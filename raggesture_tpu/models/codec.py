@@ -33,6 +33,9 @@ from ..ops import rotations as rot
 from .vae import TransformerVAE, VAEConfig
 
 PART_NAMES = ("upper", "hands", "face", "lowertrans")
+# separator-token logvar: exp(0.5 * SEP_LOGVAR) underflows to exactly 0,
+# so sampled separator tokens are exactly mu (= 0) for any noise draw
+SEP_LOGVAR = -1e30
 
 # feature sizes of the shipped BEAT2 configuration
 UPPER_JOINTS = 13
@@ -110,7 +113,7 @@ def part_features(
     face6d = rot.aa_feature_to_6d(motion_face)
     in_face = jnp.concatenate([face6d, motion_facial], axis=-1)
     lower6d = rot.aa_feature_to_6d(motion_lower)
-    transl = motion_transl
+    transl = jnp.asarray(motion_transl)  # .at[] needs a jnp array
     transl = transl.at[..., 0].add(-transl[..., 0:1, 0])
     transl = transl.at[..., 2].add(-transl[..., 0:1, 2])
     in_lowertrans = jnp.concatenate([lower6d, transl, motion_contact], axis=-1)
@@ -173,6 +176,40 @@ class GestureCodec(nn.Module):
         msep = jnp.zeros_like(m[:, :1])
         token_mask = jnp.concatenate([m, msep, m, msep, m, msep, m], axis=1)
         return latents, token_mask
+
+    def encode_dist(
+        self,
+        feats: Dict[str, jnp.ndarray],
+        frame_mask: Optional[jnp.ndarray] = None,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Latent DISTRIBUTION at the 43-token layout: (mu, logvar).
+
+        Separator tokens get mu=0 and logvar=``SEP_LOGVAR`` (std exactly 0
+        after exp underflow), so ``mu + exp(0.5*logvar)*eps`` reproduces
+        :meth:`encode`'s sampled layout for any eps.  This is the basis of
+        the frozen-codec latent cache (datasets/latent_cache.py): the VAEs
+        never train, so each window's (mu, logvar) is training-constant and
+        re-sampling from the cache is distributionally IDENTICAL to a live
+        encode (the reference rsamples at encode, gesture_vae.py:111-121)."""
+        c = self.cfg
+        B, T = feats["upper"].shape[:2]
+        if frame_mask is None:
+            frame_mask = jnp.ones((B, T))
+        mus, lvs = {}, {}
+        for part in PART_NAMES:
+            _, (mu, logvar) = self._vae(part).encode_to_dist(
+                feats[part], sample=False, frame_mask=frame_mask
+            )
+            mus[part], lvs[part] = mu, logvar
+        sep_mu = jnp.zeros_like(mus["upper"][:, :1, :])
+        sep_lv = jnp.full_like(sep_mu, SEP_LOGVAR)
+        mu = jnp.concatenate(
+            [mus["upper"], sep_mu, mus["hands"], sep_mu, mus["face"],
+             sep_mu, mus["lowertrans"]], axis=1)
+        logvar = jnp.concatenate(
+            [lvs["upper"], sep_lv, lvs["hands"], sep_lv, lvs["face"],
+             sep_lv, lvs["lowertrans"]], axis=1)
+        return mu, logvar
 
     def decode(self, z: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         """(B, 43, D) -> dict of axis-angle parts + transl/exps/contact

@@ -39,6 +39,12 @@ def batch_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
     return NamedSharding(mesh, P(axis_name))
 
 
+def stacked_batch_sharding(mesh: Mesh, axis_name: str = DATA_AXIS
+                           ) -> NamedSharding:
+    """(k, batch, ...) stacks: scan axis replicated, batch dim sharded."""
+    return NamedSharding(mesh, P(None, axis_name))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

@@ -44,12 +44,20 @@ from .loop import (
 DEVICE_BATCH_KEYS = (
     "motion_upper", "motion_lower", "motion_face", "motion_hands",
     "trans", "facial", "contact", "motion_mask", "word", "audio",
-    "speaker_ids",
+    "speaker_ids", "latent_mu", "latent_logvar",
 )
+
+# with cached latents the motion fields never reach the train step — the
+# loss samples z0 from (mu, logvar) and masks via motion_mask only
+_MOTION_KEYS = ("motion_upper", "motion_lower", "motion_face",
+                "motion_hands", "trans", "facial", "contact")
 
 
 def device_batch(batch: Dict[str, Any]) -> Dict[str, np.ndarray]:
-    return {k: batch[k] for k in DEVICE_BATCH_KEYS if k in batch}
+    keys = DEVICE_BATCH_KEYS
+    if "latent_mu" in batch:
+        keys = tuple(k for k in keys if k not in _MOTION_KEYS)
+    return {k: batch[k] for k in keys if k in batch}
 
 
 def train_model(
@@ -75,6 +83,7 @@ def train_model(
     val_interval: int = 1,
     val_max_batches: int = 8,
     schedule_sampler: str = "uniform",
+    multi_step: int = 1,
 ) -> TrainState:
     """Run the epoch loop; returns the final TrainState (host-fetched)."""
     logger = get_root_logger()
@@ -143,6 +152,20 @@ def train_model(
                         bf16_compute=optim_cfg.bf16_compute,
                         with_timesteps=t_sampler is not None), mesh,
         with_timesteps=t_sampler is not None)
+    # multi-step dispatch (k steps per jitted call via lax.scan) amortizes
+    # the per-dispatch argument marshaling — a ~2x wall win on remote-hosted
+    # TPUs (loop.make_multi_train_step).  Importance samplers need a host
+    # round trip per step, so they stay on the single-step path.
+    multi_fn = None
+    if multi_step > 1 and t_sampler is None:
+        from ..parallel.mesh import stacked_batch_sharding
+        from .loop import jit_multi_train_step, make_multi_train_step
+
+        multi_fn = jit_multi_train_step(
+            make_multi_train_step(model, tx, sched_train,
+                                  bf16_compute=optim_cfg.bf16_compute),
+            mesh)
+        stacked_sh = stacked_batch_sharding(mesh)
     val_fn = None
     if val_loader is not None:
         from .loop import jit_val_step, make_val_step
@@ -161,9 +184,32 @@ def train_model(
             train_loader.set_epoch(epoch)
             t_epoch = time.time()
             n_batches = 0
+            mbuf = []
+
+            def log_step(logs, k=1):
+                nonlocal n_batches, global_step
+                n_batches += k
+                prev = global_step
+                global_step += k
+                if (global_step // log_interval != prev // log_interval
+                        or n_batches == k):
+                    # device values are fetched only when actually logging;
+                    # multi-step logs carry a leading (k,) axis — log means
+                    host_logs = {key: float(np.mean(np.asarray(v)))
+                                 for key, v in logs.items()}
+                    host_logs["epoch_time"] = time.time() - t_epoch
+                    writer.write(global_step, host_logs, epoch=epoch)
+
+            def flush_mbuf():
+                nonlocal state
+                for b in mbuf:
+                    state, logs = step_fn(state, shard_batch(b, mesh), rng)
+                    log_step(logs)
+                mbuf.clear()
+
             for batch in train_loader:
-                db = shard_batch(device_batch(batch), mesh)
                 if t_sampler is not None:
+                    db = shard_batch(device_batch(batch), mesh)
                     B = next(iter(db.values())).shape[0]
                     t_np, w_np = t_sampler.sample_np(t_rng, B)
                     state, logs = step_fn(
@@ -174,15 +220,28 @@ def train_model(
                         t_sampler.update_with_losses(
                             t_np, np.asarray(logs.pop("per_sample_loss")))
                         logs.pop("t", None)
+                    log_step(logs)
+                elif multi_fn is not None:
+                    hb = device_batch(batch)
+                    if mbuf and any(
+                            np.shape(mbuf[0][k2]) != np.shape(hb[k2])
+                            for k2 in mbuf[0]):
+                        flush_mbuf()  # ragged tail batch: run singly
+                    mbuf.append(hb)
+                    if len(mbuf) < multi_step:
+                        continue
+                    stacked = {k2: np.stack([b[k2] for b in mbuf])
+                               for k2 in mbuf[0]}
+                    mbuf.clear()
+                    sb = jax.tree_util.tree_map(
+                        lambda x: jax.device_put(x, stacked_sh), stacked)
+                    state, logs = multi_fn(state, sb, rng)
+                    log_step(logs, k=multi_step)
                 else:
+                    db = shard_batch(device_batch(batch), mesh)
                     state, logs = step_fn(state, db, rng)
-                n_batches += 1
-                global_step += 1
-                if global_step % log_interval == 0 or n_batches == 1:
-                    # device values are fetched only when actually logging
-                    host_logs = {k: float(v) for k, v in logs.items()}
-                    host_logs["epoch_time"] = time.time() - t_epoch
-                    writer.write(global_step, host_logs, epoch=epoch)
+                    log_step(logs)
+            flush_mbuf()  # epoch tail shorter than multi_step
             if val_fn is not None and (epoch + 1) % val_interval == 0:
                 # validation pass (reference val workflow / val_step)
                 val_logs = []

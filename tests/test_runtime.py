@@ -454,3 +454,78 @@ def test_load_codec_params_grafting(tmp_path):
     e = jax.tree_util.tree_leaves(out["params"]["denoiser"])[0]
     f = jax.tree_util.tree_leaves(params["params"]["denoiser"])[0]
     np.testing.assert_allclose(np.asarray(e), np.asarray(f))
+
+
+# -------------------------------------------------------------- multi-step --
+def test_multi_step_matches_sequential_steps():
+    """make_multi_train_step (k steps per dispatch via lax.scan) must match
+    k sequential make_train_step calls exactly: the per-step rng folds
+    state.step inside the step, which the scan increments identically."""
+    from raggesture_tpu.parallel.mesh import (
+        make_mesh, replicate_tree, replicated, shard_batch,
+        stacked_batch_sharding)
+    from raggesture_tpu.train.loop import (
+        jit_multi_train_step, jit_train_step, make_multi_train_step,
+        make_train_step)
+
+    cfg = tiny_arch_config()
+    model = MotionDiffusionModel(cfg)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "vae": jax.random.PRNGKey(1)},
+        tiny_batch(batch=2))
+    # host copies: the jitted steps donate their state, which would delete
+    # buffers shared between the two state trees
+    params = jax.tree_util.tree_map(np.asarray, params)
+    sched = cfg.diffusion_train.schedule()
+    mesh = make_mesh(1)
+    rng = jax.device_put(jax.random.PRNGKey(3), replicated(mesh))
+    K = 3
+    batches = [tiny_batch(batch=2, seed=10 + i) for i in range(K)]
+
+    state_a, tx = create_train_state(model, params, OptimConfig(total_steps=8))
+    step = jit_train_step(make_train_step(model, tx, sched), mesh)
+    state_a = replicate_tree(state_a, mesh)
+    logs_seq = []
+    for b in batches:
+        state_a, logs = step(state_a, shard_batch(b, mesh), rng)
+        logs_seq.append(float(logs["recon_loss"]))
+
+    state_b, _ = create_train_state(model, params, OptimConfig(total_steps=8))
+    multi = jit_multi_train_step(make_multi_train_step(model, tx, sched),
+                                 mesh)
+    state_b = replicate_tree(state_b, mesh)
+    stacked = {k: np.stack([np.asarray(b[k]) for b in batches])
+               for k in batches[0]}
+    sb = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, stacked_batch_sharding(mesh)), stacked)
+    state_b, logs_k = multi(state_b, sb, rng)
+
+    assert int(state_b.step) == int(state_a.step) == K
+    np.testing.assert_allclose(np.asarray(logs_k["recon_loss"]),
+                               np.asarray(logs_seq), rtol=1e-5)
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        state_a.params, state_b.params)
+    assert max(jax.tree_util.tree_leaves(diffs)) < 1e-5
+
+
+def test_train_model_multi_step(tmp_path):
+    """train_model(multi_step=2) over an epoch whose batch count isn't a
+    multiple of k: stacked dispatches + single-step tail flush, correct
+    final step count, metrics written."""
+    cfg = tiny_arch_config()
+    model = MotionDiffusionModel(cfg)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "vae": jax.random.PRNGKey(1)},
+        tiny_batch(batch=2))
+    ds = _ListDataset(_records(24))
+    dl = DataLoader(ds, batch_size=8, shuffle=True, drop_last=True)
+    assert len(dl) == 3  # 2 stacked + 1 tail per epoch
+    wd = str(tmp_path / "run")
+    state = train_model(
+        model, dl, OptimConfig(total_steps=6), params=params,
+        max_epochs=2, workdir=wd, checkpoint_interval=2,
+        log_interval=2, tensorboard=False, seed=0, multi_step=2,
+    )
+    assert int(state.step) == 6  # 2 epochs x 3 batches, none dropped
+    assert os.path.exists(os.path.join(wd, "metrics.jsonl"))

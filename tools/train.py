@@ -37,6 +37,16 @@ def parse_args():
     p.add_argument("--no-validate", action="store_true")
     p.add_argument("--device-batch-size", type=int, default=None,
                    help="override data.samples_per_device")
+    p.add_argument("--latent-cache", default=None, metavar="DIR",
+                   help="precompute per-window codec latent distributions "
+                        "into DIR (one frozen-codec encode pass, idempotent)"
+                        " and train from them — distributionally identical "
+                        "to the live encode, skips ~25 GFLOP/sample/step")
+    p.add_argument("--multi-step", type=int, default=None,
+                   help="train steps per jitted dispatch (lax.scan over a "
+                        "stacked batch; amortizes dispatch marshaling — "
+                        "~2x wall on remote-hosted TPUs). Default: "
+                        "runner.multi_step from the config, else 1")
     p.add_argument("--schedule-sampler", default="uniform",
                    choices=["uniform", "loss-second-moment"],
                    help="diffusion timestep sampler (loss-second-moment = "
@@ -147,6 +157,28 @@ def main():
         params = load_codec_params(
             params, cfg.model.model.get("vae_cfg", {}), logger)
 
+    if args.latent_cache:
+        # frozen-codec latent cache: one encode pass, then train without
+        # the codec forward (see raggesture_tpu/datasets/latent_cache.py)
+        from raggesture_tpu.datasets.latent_cache import (
+            LatentCachedDataset,
+            build_latent_cache,
+        )
+
+        build_latent_cache(dataset, model, params, args.latent_cache,
+                           logger=logger)
+        dataset = LatentCachedDataset(dataset, args.latent_cache,
+                                      params=params)
+        loader = build_dataloader(
+            dataset, batch_per_device, n_local,
+            num_shards=jax.process_count(), shard=jax.process_index(),
+            seed=args.seed,
+        )
+        if workers:
+            from raggesture_tpu.datasets.sampler import PrefetchLoader
+
+            loader = PrefetchLoader(loader, num_workers=workers)
+
     # optional retrieval database for memoization persistence during training
     retrieval_db = None
     retrieval_save_dir = None
@@ -212,6 +244,8 @@ def main():
             retrieval_save_dir=retrieval_save_dir,
             val_loader=val_loader,
             schedule_sampler=args.schedule_sampler,
+            multi_step=(args.multi_step if args.multi_step is not None
+                        else cfg.runner.get("multi_step", 1)),
         )
     logger.info("training done at step %d", int(state.step))
 
