@@ -40,18 +40,6 @@ from .schedules import DiffusionSchedule
 ModelFn = Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray], jnp.ndarray]
 
 
-def _apply_in_seq(sched, x, in_seq, t, rng):
-    """Overwrite rows of x where in_seq is nonzero with q_sample(in_seq, t).
-
-    Reference ddim_sample in_seq outpainting (gaussian_diffusion.py:934-947):
-    nonzero (over feature dim) rows of ``in_seq`` are forward-noised to step t
-    and spliced into x at every step.
-    """
-    nonzero = jnp.any(in_seq != 0, axis=-1, keepdims=True).astype(x.dtype)  # (B,T,1)
-    noised = G.q_sample(sched, in_seq, t, jax.random.normal(rng, in_seq.shape, x.dtype))
-    return x * (1.0 - nonzero) + noised * nonzero
-
-
 def _apply_pre_seq(sched, x, pre_seq, t, rng):
     """Prefix inpainting (reference p_sample :773-777): q_sample the prefix
     and overwrite x[:, :L]."""
@@ -165,22 +153,58 @@ def ddpm_sample_loop(model_fn: ModelFn, sched: DiffusionSchedule, noise, rng, *,
     return x
 
 
+def _noised_in_seq_table(sched, in_seq, rng):
+    """(S, B, T, 1) mask + (S, B, T, D) q_sampled splice targets, hoisted.
+
+    The in-seq splice mask is step-invariant and its q_sample noise is iid
+    across steps, so both are computed OUTSIDE the sampling scan: one
+    nonzero-row reduction and ONE bulk RNG draw replace a per-step threefry
+    split + mask recompute + coefficient gather in every scan iteration
+    (XLA does not hoist ops feeding a Pallas custom-call out of the loop,
+    so this must be explicit — docs/PERFORMANCE.md).  ``in_seq`` may be
+    (B, T, D) (constant per step) or (S, B, T, D) (per-step targets)."""
+    S = sched.num_timesteps
+    if in_seq.ndim == 3:
+        in_all = jnp.broadcast_to(in_seq[None], (S,) + in_seq.shape)
+    else:
+        in_all = in_seq[:S]
+    m_all = jnp.any(in_all != 0, axis=-1, keepdims=True).astype(in_all.dtype)
+    nd = in_all.ndim
+    ab = sched.sqrt_alphas_cumprod.reshape((S,) + (1,) * (nd - 1))
+    om = sched.sqrt_one_minus_alphas_cumprod.reshape((S,) + (1,) * (nd - 1))
+    noise = jax.random.normal(rng, in_all.shape, in_all.dtype)
+    return m_all, in_all * ab + noise * om
+
+
 def ddim_sample_loop(model_fn: ModelFn, sched: DiffusionSchedule, noise, rng, *,
                      eta=0.0, mean_type=MeanType.START_X,
                      var_type=VarType.FIXED_LARGE, cfg_scale=0.0,
                      clip_denoised=False, in_seq=None, pre_seq=None):
-    """Full DDIM chain as one scan (reference ddim_sample_loop :1042-1135)."""
+    """Full DDIM chain as one scan (reference ddim_sample_loop :1042-1135).
+
+    With ``eta == 0`` and no ``pre_seq`` the scan body consumes no RNG at
+    all (the in-seq splice noise comes from a hoisted bulk table), so the
+    per-step work is exactly one denoiser call plus the DDIM algebra."""
     B = noise.shape[0]
     steps = jnp.arange(sched.num_timesteps - 1, -1, -1)
+    det = isinstance(eta, float) and eta == 0.0
+
+    m_in = noised_in = None
+    if in_seq is not None:
+        rng, r_bulk = jax.random.split(rng)
+        m_in, noised_in = _noised_in_seq_table(sched, in_seq, r_bulk)
 
     def body(carry, i):
         x, r = carry
-        r, r_in, r_pre, r_noise = jax.random.split(r, 4)
+        if pre_seq is not None or not det:
+            r, r_pre, r_noise = jax.random.split(r, 3)
+        else:
+            r_pre = r_noise = r
         t = jnp.full((B,), i, dtype=jnp.int32)
         if pre_seq is not None:
             x = _apply_pre_seq(sched, x, pre_seq, t, r_pre)
         if in_seq is not None:
-            x = _apply_in_seq(sched, x, in_seq, t, r_in)
+            x = x * (1.0 - m_in[i]) + noised_in[i] * m_in[i]
         x, _ = ddim_step(model_fn, sched, x, t, i, r_noise,
                          mean_type=mean_type, var_type=var_type, eta=eta,
                          cfg_scale=cfg_scale, clip_denoised=clip_denoised)
@@ -258,6 +282,18 @@ def ddim_guided_sample_loop(model_fn: ModelFn, sched: DiffusionSchedule, noise,
     skipped (the start noise already contains the inverted latents) and the
     in-seq splice uses the caller's ``init_in_seq`` (prev-latent handoff);
     at every later step both use ``inverted_latents[i]``.
+
+    **The guidance GD never reaches the model** in the reference semantics:
+    its loss gradient is zero outside the nonzero-row mask of
+    ``inverted_latent_list[i]`` (:1267-1273), and ``ddim_sample`` then
+    overwrites exactly those rows with ``q_sample(in_seq=inverted latents)``
+    BEFORE the model call (:934-947, invoked with ``in_seq`` rebound to
+    ``inverted_latent_list[i]`` at :1358,1393).  The loop is therefore
+    exactly plain DDIM plus a per-step masked overwrite.  The default path
+    exploits this (the splice mask and its noise are hoisted out of the
+    scan; the dead GD is not computed); ``exact_iters=True`` runs the
+    literal per-step GD ``fori_loop`` and is bit-identical to the default
+    path — ``test_diffusion_math.py`` asserts the equivalence.
     """
     B = noise.shape[0]
     S = sched.num_timesteps
@@ -265,22 +301,30 @@ def ddim_guided_sample_loop(model_fn: ModelFn, sched: DiffusionSchedule, noise,
     guidance_iters = jnp.asarray(guidance_iters, dtype=jnp.int32)
     if init_in_seq is None:
         init_in_seq = jnp.zeros_like(noise)
+    det = isinstance(eta, float) and eta == 0.0
+
+    # per-step splice targets: init_in_seq at the first visited step
+    # (i = S-1), inverted_latents[i] at every later step; mask + q_sample
+    # noise hoisted out of the scan (see _noised_in_seq_table)
+    in_all = inverted_latents[:S].at[S - 1].set(init_in_seq)
+    rng, r_bulk = jax.random.split(rng)
+    m_all, noised_all = _noised_in_seq_table(sched, in_all, r_bulk)
 
     def body(carry, i):
         x, r = carry
-        r, r_in, r_noise = jax.random.split(r, 3)
+        if not det:
+            r, r_noise = jax.random.split(r)
+        else:
+            r_noise = r
         t = jnp.full((B,), i, dtype=jnp.int32)
-        is_first = i == (S - 1)
-        inv_i = inverted_latents[i]
-
-        # guidance GD on the latent (skipped at the first visited step)
-        n_iter = jnp.where(is_first, 0, guidance_iters[i])
-        x = guidance_update(x, inv_i, n_iter, guidance_lr, exact_iters=exact_iters)
-
-        # in-seq splice: init_in_seq at the first step, inverted latents after
-        in_seq_i = jnp.where(is_first, init_in_seq, inv_i)
-        x = _apply_in_seq(sched, x, in_seq_i, t, r_in)
-
+        if exact_iters:
+            # literal reference computation (parity path): the GD result is
+            # provably overwritten by the splice below on every coordinate
+            # it changes, so this is equal to the default path
+            n_iter = jnp.where(i == (S - 1), 0, guidance_iters[i])
+            x = guidance_update(x, inverted_latents[i], n_iter, guidance_lr,
+                                exact_iters=True)
+        x = x * (1.0 - m_all[i]) + noised_all[i] * m_all[i]
         x, _ = ddim_step(model_fn, sched, x, t, i, r_noise,
                          mean_type=mean_type, var_type=var_type, eta=eta,
                          cfg_scale=cfg_scale, clip_denoised=clip_denoised)

@@ -148,3 +148,37 @@ def test_ddpm_transl_req_pins_values():
     assert abs(pinned[0] - 5.0) < 1.0 and abs(pinned[1] + 5.0) < 1.0
     # other features are not pinned
     assert abs(float(out[0, 0, 1])) < 3.0
+
+
+def test_guided_loop_exact_iters_equals_fast_path():
+    """The insertion-guidance GD is provably dead in the reference loop:
+    its gradient is nonzero only on the splice-mask rows, which ddim_sample
+    then overwrites with q_sample(inverted_latent_i) BEFORE the model call
+    (gaussian_diffusion.py:1344-1378 + :934-947).  The fast path therefore
+    skips it; ``exact_iters=True`` runs the literal per-step fori_loop GD.
+    Both must produce the SAME samples (same hoisted noise table)."""
+    from raggesture_tpu.diffusion import sampling as S
+
+    sched = make_schedule("scaled_linear", 100, "2,2,2,2,2", 10)
+    B, T, D = 2, 6, 8
+    S_n = sched.num_timesteps
+    rng = jax.random.PRNGKey(3)
+    noise = jax.random.normal(jax.random.PRNGKey(0), (B, T, D))
+    inv = np.zeros((S_n, B, T, D), np.float32)
+    inv[:, :, 1] = np.random.RandomState(1).randn(S_n, B, D)  # one spliced row
+    gi = jnp.asarray([0] * (S_n // 2) + list(range(S_n - S_n // 2)), jnp.int32)
+
+    def model_fn(x, t_orig, step_idx):
+        return 0.9 * x  # contraction x0-predictor
+
+    kw = dict(inverted_latents=jnp.asarray(inv), guidance_iters=gi,
+              guidance_lr=0.1, mean_type=MeanType.START_X,
+              var_type=VarType.FIXED_LARGE)
+    fast = S.ddim_guided_sample_loop(model_fn, sched, noise, rng, **kw)
+    exact = S.ddim_guided_sample_loop(model_fn, sched, noise, rng,
+                                      exact_iters=True, **kw)
+    np.testing.assert_array_equal(np.asarray(fast), np.asarray(exact))
+    # and the guided rows do track the (noised) inverted latents: at the
+    # final step the splice writes q_sample(inv_0, t=0) ~ inv_0 before the
+    # model call, so the model output on that row reflects it
+    assert np.isfinite(np.asarray(fast)).all()
