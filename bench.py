@@ -197,7 +197,10 @@ def main():
     full = {"configs": {}, "methodology":
             "best-of-4x10 trial minima in one process (shared TPU host, "
             "docs/PERFORMANCE.md); MFU = analytic matmul FLOPs "
-            "(bench.py flop model) / 197 TFLOP/s v5e bf16 peak"}
+            "(bench.py flop model) / 197 TFLOP/s v5e bf16 peak. "
+            "BASELINE config 4 (discourse guidance) is compute-identical "
+            "to guided_q2 — retrieval method only changes the host-side "
+            "scorer, not the device pipeline."}
     fp = flops_plain_clip(cfg, steps)
     full["configs"]["plain_b1"] = {
         "clips_per_sec": round(clips_per_sec, 3),
@@ -280,6 +283,35 @@ def main():
         "pct_of_plain": round(dt1 / dtw, 3),
     }
 
+    # long-form synthesis (BASELINE config 5): 3 chunks of 150 frames with
+    # prev-latent handoff (stride 150-15), as tools/longform_synthesis.py
+    # drives it — chunk 1 plain, chunks 2..N through sample_inseq.  The
+    # handoff is inherently sequential (chunk k+1 consumes chunk k's output
+    # latents), so this measures the per-chunk dispatch chain; host-side 6d
+    # cross-fade stitching is numpy and excluded (<1% of chunk time).
+    n_chunks = 3
+    lf_opts = InferenceOptions(use_prev_latent=True)
+
+    def run_longform(rng):
+        out = gen.sample(batch, rng)
+        for c in range(n_chunks - 1):
+            out = gen(batch, jax.random.fold_in(rng, c), opts=lf_opts,
+                      prev_latent=out["prev_latentout"])
+        return out["output_latents"]
+
+    jax.block_until_ready(run_longform(r))
+    dtl = best_of_trials(run_longform, r, trials=3, iters=3)
+    frames = cfg.codec.num_frames
+    stride = frames - frames // 10  # 150-15: one latent token overlap
+    motion_secs = (frames + (n_chunks - 1) * stride) / 15.0
+    fl = n_chunks * flops_plain_clip(cfg, steps)
+    full["configs"][f"longform_{n_chunks}chunk"] = {
+        "chunks_per_sec": round(n_chunks / dtl, 3),
+        "motion_secs_per_sec": round(motion_secs / dtl, 2),
+        "gflops_per_window": round(fl / n_chunks / 1e9, 1),
+        "mfu": round(fl / dtl / peak, 4),
+    }
+
     # training step (BASELINE config 5's training half): device batch 128
     from raggesture_tpu.train.loop import (
         OptimConfig,
@@ -289,6 +321,14 @@ def main():
 
     tb = synthetic_batch(seed=1, batch=128, frames=cfg.codec.num_frames,
                          audio_frames=499)
+    # latent-cache inputs MUST be computed before the first train step:
+    # the step is jitted with donate_argnums=(0,) and ``state`` aliases
+    # ``params``, so the original param buffers are dead afterwards (using
+    # them surfaced as an async INVALID_ARGUMENT at fetch over the axon
+    # tunnel rather than a clean "deleted" error)
+    mu, logvar = jax.jit(lambda p, b: model.apply(
+        p, b, method=model.encode_motion_dist))(params, tb)
+    jax.block_until_ready(mu)
     state, tx = create_train_state(model, params,
                                    OptimConfig(total_steps=100))
     step = jax.jit(make_train_step(model, tx, cfg.diffusion_train.schedule()),
@@ -314,18 +354,18 @@ def main():
     # multi-step dispatch (runner multi_step=8, the flagship-config default):
     # 8 optimizer steps per jitted call amortize the ~3000-leaf argument
     # marshaling that dominates per-step dispatch on remote-hosted TPUs
-    import numpy as _np
-
     from raggesture_tpu.train.loop import make_multi_train_step
 
     K = 8
     # device-resident stack: host->device transfer is the loader's job
     # (prefetch overlaps it); the bench measures the compute+dispatch path,
-    # matching the per-step config whose batch is transfer-cached by jax
-    stb = jax.block_until_ready(jax.device_put(
-        {k: _np.broadcast_to(_np.asarray(v),
-                             (K,) + _np.asarray(v).shape).copy()
-         for k, v in tb.items()}))
+    # matching the per-step config whose batch is transfer-cached by jax.
+    # The (K, ...) stack is built ON DEVICE — a host round-trip of ~3 GB
+    # over the remote axon tunnel is both slow and a source of transient
+    # backend errors.
+    _stack_k = jax.jit(lambda t: jax.tree_util.tree_map(
+        lambda v: jnp.broadcast_to(v[None], (K,) + v.shape), t))
+    stb = jax.block_until_ready(_stack_k(tb))
     multi = jax.jit(
         make_multi_train_step(model, tx, cfg.diffusion_train.schedule()),
         donate_argnums=(0,))
@@ -343,6 +383,34 @@ def main():
         "samples_per_sec": round(128 / best_m, 1),
         "gflops_per_step": round(ft / 1e9, 1),
         "mfu": round(ft / best_m / peak, 4),
+    }
+
+    # latent cache + multi-step (train.py --latent-cache + multi_step=8):
+    # the frozen-codec encode (~25 GFLOP/sample) leaves the step entirely —
+    # z0 is re-drawn from precomputed (mu, logvar), distributionally
+    # identical (datasets/latent_cache.py)
+    cached_tb = {k: v for k, v in tb.items()
+                 if k not in ("motion_upper", "motion_lower", "motion_face",
+                              "motion_hands", "trans", "facial", "contact")}
+    cached_tb["latent_mu"] = mu
+    cached_tb["latent_logvar"] = logvar
+    stc = jax.block_until_ready(_stack_k(cached_tb))
+    state, logs_k = multi(state, stc, rng_t)  # compile (new batch structure)
+    jax.block_until_ready(logs_k["recon_loss"])
+    best_c = float("inf")
+    for trial in range(3):
+        t0 = time.perf_counter()
+        for i in range(2):
+            state, logs_k = multi(state, stc, rng_t)
+        jax.block_until_ready(logs_k["recon_loss"])
+        best_c = min(best_c, (time.perf_counter() - t0) / (2 * K))
+    # executed FLOPs exclude the codec encode the cache removed
+    ftc = ft - vae_flops_per_clip(cfg.codec, encode=True, decode=False) * 128
+    full["configs"][f"train_multistep{K}_latcache_b128"] = {
+        "ms_per_step": round(best_c * 1e3, 2),
+        "samples_per_sec": round(128 / best_c, 1),
+        "gflops_per_step": round(ftc / 1e9, 1),
+        "mfu": round(ftc / best_c / peak, 4),
     }
 
     import os
