@@ -144,12 +144,40 @@ def make_guided_inputs(model, params, gen, cfg, batch):
             "inv_conds": conds_core, "splice": splice, "num_queries": q}
 
 
+def _require_backend(timeout_s: float = 300.0) -> None:
+    """Fail fast (rc=3) if backend init hangs — the remote-TPU tunnel on
+    this rig goes down transiently, and jax.devices() then blocks forever
+    in the plugin's claim-retry loop instead of raising."""
+    import os
+    import sys
+    import threading
+
+    result = []
+
+    def probe():
+        try:
+            result.append(jax.devices())
+        except BaseException as e:  # surfaced below, in the main thread
+            result.append(e)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if not result:
+        print(f"bench: backend init did not complete within {timeout_s:.0f}s"
+              " (remote TPU tunnel down?)", file=sys.stderr)
+        os._exit(3)
+    if isinstance(result[0], BaseException):
+        raise result[0]
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--all", action="store_true",
                     help="measure every BASELINE.md config and write "
                          "docs/BENCH_FULL.json")
     args = ap.parse_args()
+    _require_backend()
 
     from raggesture_tpu.datasets.fixtures import full_arch_config, synthetic_batch
     from raggesture_tpu.models.architecture import (

@@ -87,3 +87,19 @@ def test_single_device_test_helper():
     res = single_device_test(gen, batches)
     assert [r["sample_name"] for r in res] == ["a", "b", "c"]
     assert np.allclose(res[2]["pred"], 3.0)
+
+
+def test_pin_platform_from_env(monkeypatch):
+    """pin_platform_from_env re-asserts JAX_PLATFORMS through jax.config
+    (the env var alone does not prevent a sitecustomize-registered remote
+    plugin from initializing during backend discovery — utils/env.py)."""
+    from raggesture_tpu.utils.env import pin_platform_from_env
+
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    pin_platform_from_env()
+    assert jax.config.jax_platforms == "cpu"
+
+    # unset/empty env leaves the current selection untouched
+    monkeypatch.setenv("JAX_PLATFORMS", "")
+    pin_platform_from_env()
+    assert jax.config.jax_platforms == "cpu"
