@@ -177,6 +177,13 @@ def main():
                     help="measure every BASELINE.md config and write "
                          "docs/BENCH_FULL.json")
     args = ap.parse_args()
+    from raggesture_tpu.utils.env import setup_compilation_cache
+
+    # pin the platform from JAX_PLATFORMS via jax.config BEFORE the backend
+    # probe — the env var alone does not stop a sitecustomize-registered
+    # remote plugin from initializing during backend discovery, so a
+    # CPU-pinned bench run must not reach _require_backend unpinned
+    setup_compilation_cache()
     _require_backend()
 
     from raggesture_tpu.datasets.fixtures import full_arch_config, synthetic_batch
@@ -187,9 +194,6 @@ def main():
         guidance_iters_schedule,
         init_params,
     )
-    from raggesture_tpu.utils.env import setup_compilation_cache
-
-    setup_compilation_cache()
     cfg = full_arch_config()
     model = MotionDiffusionModel(cfg)
     batch = synthetic_batch(seed=0, batch=1, frames=cfg.codec.num_frames,
@@ -201,7 +205,13 @@ def main():
     # falls back to the XLA twin elsewhere)
     gen = StagedGenerator(model, params, sched, fused=on_tpu)
     r = jax.random.PRNGKey(0)
-    peak = V5E_PEAK_FLOPS if on_tpu else float("nan")
+    peak = V5E_PEAK_FLOPS if on_tpu else None
+
+    def mfu(flops_per_sec):
+        # off-TPU there is no meaningful roofline; None keeps the JSON valid
+        # (NaN would make docs/BENCH_FULL.json unparseable by strict parsers)
+        return round(flops_per_sec / peak, 4) if peak else None
+
     steps = sched.num_timesteps
 
     def run_plain(rng):
@@ -233,7 +243,7 @@ def main():
     full["configs"]["plain_b1"] = {
         "clips_per_sec": round(clips_per_sec, 3),
         "gflops_per_clip": round(fp / 1e9, 1),
-        "mfu": round(fp * clips_per_sec / peak, 4),
+        "mfu": mfu(fp * clips_per_sec),
     }
 
     # batch scaling (BASELINE config 1 at serving batch sizes)
@@ -250,7 +260,7 @@ def main():
         full["configs"][f"plain_b{B}"] = {
             "clips_per_sec": round(rate, 3),
             "gflops_per_clip": round(fp / 1e9, 1),
-            "mfu": round(fp * rate / peak, 4),
+            "mfu": mfu(fp * rate),
         }
 
     # codec round-trip (BASELINE config 2): 4-part encode -> decode
@@ -271,7 +281,7 @@ def main():
     full["configs"]["codec_roundtrip_b32"] = {
         "clips_per_sec": round(32 / dtc, 3),
         "gflops_per_clip": round(fv / 1e9, 1),
-        "mfu": round(fv * 32 / dtc / peak, 4),
+        "mfu": mfu(fv * 32 / dtc),
     }
 
     # guided inference (BASELINE config 3): Q=2, decreasing_till_25
@@ -290,7 +300,7 @@ def main():
     full["configs"]["guided_q2_cold"] = {
         "clips_per_sec": round(1 / dtg, 3),
         "gflops_per_clip": round(fg / 1e9, 1),
-        "mfu": round(fg / dtg / peak, 4),
+        "mfu": mfu(fg / dtg),
         "pct_of_plain": round(dt1 / dtg, 3),
     }
 
@@ -307,7 +317,7 @@ def main():
     full["configs"]["guided_q2_warm"] = {
         "clips_per_sec": round(1 / dtw, 3),
         "gflops_per_clip": round(fgw / 1e9, 1),
-        "mfu": round(fgw / dtw / peak, 4),
+        "mfu": mfu(fgw / dtw),
         "pct_of_plain": round(dt1 / dtw, 3),
     }
 
@@ -337,7 +347,7 @@ def main():
         "chunks_per_sec": round(n_chunks / dtl, 3),
         "motion_secs_per_sec": round(motion_secs / dtl, 2),
         "gflops_per_window": round(fl / n_chunks / 1e9, 1),
-        "mfu": round(fl / dtl / peak, 4),
+        "mfu": mfu(fl / dtl),
     }
 
     # training step (BASELINE config 5's training half): device batch 128
@@ -376,7 +386,7 @@ def main():
         "ms_per_step": round(best * 1e3, 2),
         "samples_per_sec": round(128 / best, 1),
         "gflops_per_step": round(ft / 1e9, 1),
-        "mfu": round(ft / best / peak, 4),
+        "mfu": mfu(ft / best),
     }
 
     # multi-step dispatch (runner multi_step=8, the flagship-config default):
@@ -410,7 +420,7 @@ def main():
         "ms_per_step": round(best_m * 1e3, 2),
         "samples_per_sec": round(128 / best_m, 1),
         "gflops_per_step": round(ft / 1e9, 1),
-        "mfu": round(ft / best_m / peak, 4),
+        "mfu": mfu(ft / best_m),
     }
 
     # latent cache + multi-step (train.py --latent-cache + multi_step=8):
@@ -438,7 +448,7 @@ def main():
         "ms_per_step": round(best_c * 1e3, 2),
         "samples_per_sec": round(128 / best_c, 1),
         "gflops_per_step": round(ftc / 1e9, 1),
-        "mfu": round(ftc / best_c / peak, 4),
+        "mfu": mfu(ftc / best_c),
     }
 
     import os

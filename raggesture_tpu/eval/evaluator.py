@@ -55,7 +55,10 @@ def _load_pose(path: str, n: int):
     poses = np.asarray(d["poses"], np.float32)[:n]
     trans = np.asarray(d["trans"], np.float32)[:n]
     exps = np.asarray(d["expressions"], np.float32)[:n]
-    return poses, trans, exps
+    betas = np.asarray(
+        d["betas"] if "betas" in d.files else np.zeros(300),
+        np.float32).reshape(-1)
+    return poses, trans, exps, betas
 
 
 def pose_aa_to_6d_np(pose_aa: np.ndarray) -> np.ndarray:
@@ -103,9 +106,9 @@ class Evaluator:
     # -- per-clip ------------------------------------------------------------
     def add_result_dir(self, rdir: str):
         n = self.cfg.eval_n
-        pred_pose, pred_trans, pred_exps = _load_pose(
+        pred_pose, pred_trans, pred_exps, _ = _load_pose(
             os.path.join(rdir, "pred_motion.npz"), n)
-        gt_pose, gt_trans, gt_exps = _load_pose(
+        gt_pose, gt_trans, gt_exps, gt_betas = _load_pose(
             os.path.join(rdir, "gt_motion.npz"), n)
         T = min(len(pred_pose), len(gt_pose))
         pred_pose, gt_pose = pred_pose[:T], gt_pose[:T]
@@ -133,7 +136,7 @@ class Evaluator:
             # retrieval-adherence MPJPE on inserted frames (:378-389)
             retr_path = os.path.join(rdir, "retrieval_0.npz")
             if self.cfg.compute_mpjpe and os.path.exists(retr_path):
-                r_pose, r_trans, r_exps = _load_pose(retr_path, n)
+                r_pose, r_trans, r_exps, _ = _load_pose(retr_path, n)
                 Tr = min(T, len(r_pose))
                 active = np.abs(r_pose[:Tr]).sum(-1) > 0
                 if active.any():
@@ -170,11 +173,7 @@ class Evaluator:
         # written there as L1(rec[1:]-tar[:-1], tar[1:]-tar[:-1]) — which
         # algebraically equals mean|rec[1:]-tar[1:]| — both frame-weighted.
         if self.face_fk_fn is not None:
-            d = np.load(os.path.join(rdir, "gt_motion.npz"),
-                        allow_pickle=True)
-            betas = np.asarray(
-                d["betas"] if "betas" in d.files else np.zeros(300),
-                np.float32).reshape(-1)
+            betas = gt_betas
             facial_rec = np.asarray(self.face_fk_fn(
                 pred_pose, pred_exps[:T], betas)).reshape(T, -1)
             facial_tar = np.asarray(self.face_fk_fn(
@@ -244,7 +243,7 @@ def multimodality(roots: List[str], eval_n: int = 300,
         cur = {}
         for d in find_result_dirs(root):
             name = os.path.relpath(d, root)
-            pose, trans, exps = _load_pose(
+            pose, trans, exps, _ = _load_pose(
                 os.path.join(d, "pred_motion.npz"), eval_n)
             if fk_fn is not None:
                 arr = np.asarray(fk_fn(pose, trans, exps)).reshape(

@@ -875,6 +875,9 @@ class StagedGenerator:
         hit = self._inv_stack_cache.get(skey)
         if hit is not None:
             return hit
+        for n in names:  # LRU: touch hits BEFORE eviction can reach them
+            if n in self._inv_cache:
+                self._inv_cache[n] = self._inv_cache.pop(n)
         missing = [i for i, n in enumerate(names) if n not in self._inv_cache]
         if missing:
             Qm = len(missing)
@@ -886,10 +889,14 @@ class StagedGenerator:
                                  self._pro)
             for j, i in enumerate(missing):
                 self._inv_cache[names[i]] = stack[:, j]
-            while len(self._inv_cache) > self.inv_cache_capacity:
-                self._inv_cache.pop(next(iter(self._inv_cache)))
-        for n in names:  # LRU: mark the requested rows most-recent
-            self._inv_cache[n] = self._inv_cache.pop(n)
+            # evict oldest-first, but never a name this call still needs
+            # (Q may exceed the capacity; allow temporary overflow then)
+            need = set(names)
+            for victim in list(self._inv_cache):
+                if len(self._inv_cache) <= self.inv_cache_capacity:
+                    break
+                if victim not in need:
+                    self._inv_cache.pop(victim)
         rows = [self._inv_cache[n] for n in names]
         rows += [jnp.zeros_like(rows[0])] * (q_bucket - len(rows))
         assembled = jnp.stack(rows, axis=1)

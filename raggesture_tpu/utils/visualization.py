@@ -25,6 +25,7 @@ from __future__ import annotations
 import os
 import shutil
 import subprocess
+import warnings
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -419,9 +420,19 @@ def mesh_frames(verts_seq: np.ndarray, faces: np.ndarray,
                 width: int = 320, height: int = 480,
                 mesh_color=PRED_COLOR) -> List[np.ndarray]:
     """Dispatch: pyrender EGL when installed, else the numpy rasterizer."""
-    fn = _pyrender_mesh_frames if HAS_PYRENDER else software_mesh_frames
-    return fn(verts_seq, faces, active, camera_pose, floor_y, width, height,
-              mesh_color=mesh_color)
+    if HAS_PYRENDER:
+        try:
+            return _pyrender_mesh_frames(verts_seq, faces, active,
+                                         camera_pose, floor_y, width, height,
+                                         mesh_color=mesh_color)
+        except Exception as e:  # pyrender installed but EGL unusable
+            # OffscreenRenderer raises at context creation on headless hosts
+            # without a GPU/EGL device — fall back, don't crash the tool
+            warnings.warn(f"pyrender EGL rendering failed ({e!r}); "
+                          "falling back to the software rasterizer")
+    return software_mesh_frames(verts_seq, faces, active, camera_pose,
+                                floor_y, width, height,
+                                mesh_color=mesh_color)
 
 
 # ---------------------------------------------------------------------------

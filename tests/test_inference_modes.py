@@ -239,3 +239,43 @@ def test_guided_inversion_cache_matches_fused_pipeline():
     # params swap invalidates the cache
     gen.params = params
     assert gen._inv_cache == {}
+
+
+def test_inv_cache_eviction_never_drops_requested_names():
+    """At capacity, a miss-triggered eviction must not pop a name the
+    CURRENT call also requested (that raised KeyError in the LRU-touch
+    loop), and capacity < Q overflows temporarily instead of crashing."""
+    from raggesture_tpu.datasets.fixtures import tiny_arch_config, tiny_batch
+    from raggesture_tpu.models.architecture import (
+        MotionDiffusionModel,
+        StagedGenerator,
+    )
+
+    cfg = tiny_arch_config()
+    model = MotionDiffusionModel(cfg)
+    batch = tiny_batch(batch=2)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "vae": jax.random.PRNGKey(1)},
+        batch)
+    sched = cfg.diffusion_test.schedule()
+    gen = StagedGenerator(model, params, sched, fused=True)
+    z, mask = gen._encode(params, batch)
+    core = {"word": batch["word"], "audio": batch["audio"],
+            "speaker_ids": batch["speaker_ids"]}
+
+    gen.inv_cache_capacity = 2
+    stack_ab = gen._cached_inv_stack(params, z, mask, core,
+                                     ["ex_a", "ex_b"], 2)
+    # ex_a is the LRU-oldest entry; requesting it together with a fresh
+    # miss used to evict it mid-call -> KeyError
+    stack_ac = gen._cached_inv_stack(params, z, mask, core,
+                                     ["ex_a", "ex_c"], 2)
+    assert set(gen._inv_cache) == {"ex_a", "ex_c"}
+    # the hit row is reused, not re-inverted
+    np.testing.assert_array_equal(np.asarray(stack_ab[:, 0]),
+                                  np.asarray(stack_ac[:, 0]))
+
+    # capacity below Q: keep every requested row (temporary overflow)
+    gen.inv_cache_capacity = 1
+    gen._cached_inv_stack(params, z, mask, core, ["ex_d", "ex_e"], 2)
+    assert {"ex_d", "ex_e"} <= set(gen._inv_cache)

@@ -85,6 +85,10 @@ def test_tool_chain(workspace):
     code = f"""
 import sys; sys.path.insert(0, {REPO!r})
 import jax
+# self-pin: the JAX_PLATFORMS env var alone does not stop a sitecustomize-
+# registered remote-TPU plugin from initializing during backend discovery,
+# which HANGS when the tunnel is down (CLAUDE.md); tools pin via utils/env
+jax.config.update("jax_platforms", "cpu")
 from raggesture_tpu.config import Config
 from raggesture_tpu.builders import build_architecture
 from raggesture_tpu.models.architecture import init_params

@@ -117,17 +117,22 @@ def main():
     batch_per_device = args.device_batch_size or cfg.data.get(
         "samples_per_device", 128)
     n_local = jax.local_device_count()
-    loader = build_dataloader(
-        dataset, batch_per_device, n_local,
-        num_shards=jax.process_count(), shard=jax.process_index(),
-        seed=args.seed,
-    )
     workers = cfg.data.get("workers_per_device",
                            cfg.data.get("workers_per_gpu", 0))
-    if workers:
-        from raggesture_tpu.datasets.sampler import PrefetchLoader
 
-        loader = PrefetchLoader(loader, num_workers=workers)
+    def make_loader(ds):
+        ldr = build_dataloader(
+            ds, batch_per_device, n_local,
+            num_shards=jax.process_count(), shard=jax.process_index(),
+            seed=args.seed,
+        )
+        if workers:
+            from raggesture_tpu.datasets.sampler import PrefetchLoader
+
+            ldr = PrefetchLoader(ldr, num_workers=workers)
+        return ldr
+
+    loader = make_loader(dataset)
 
     max_epochs = cfg.runner.get("max_epochs", 500)
     total_steps = max(len(loader) * max_epochs, 1)
@@ -165,19 +170,19 @@ def main():
             build_latent_cache,
         )
 
-        build_latent_cache(dataset, model, params, args.latent_cache,
-                           logger=logger)
+        # multi-host: one builder, everyone else waits — concurrent writers
+        # would tear the shard/index files (the cache is idempotent, so the
+        # non-builders just load what process 0 wrote)
+        if jax.process_index() == 0:
+            build_latent_cache(dataset, model, params, args.latent_cache,
+                               logger=logger)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("latent_cache_built")
         dataset = LatentCachedDataset(dataset, args.latent_cache,
                                       params=params)
-        loader = build_dataloader(
-            dataset, batch_per_device, n_local,
-            num_shards=jax.process_count(), shard=jax.process_index(),
-            seed=args.seed,
-        )
-        if workers:
-            from raggesture_tpu.datasets.sampler import PrefetchLoader
-
-            loader = PrefetchLoader(loader, num_workers=workers)
+        loader = make_loader(dataset)
 
     # optional retrieval database for memoization persistence during training
     retrieval_db = None
