@@ -192,6 +192,8 @@ def optim_config_from(cfg: Config, total_steps: int) -> OptimConfig:
         # optimizer.bf16=True both enable bf16 mixed precision
         bf16_compute=bool(cfg.get("fp16") is not None
                           or _get(opt, "bf16", False)),
+        # optimizer.bf16_conditions=true/false; unset = auto (TPU only)
+        bf16_conditions=_get(opt, "bf16_conditions"),
     )
 
 

@@ -45,6 +45,14 @@ class OptimConfig:
     # reference's optional Fp16OptimizerHook (mogen/apis/train.py:131-139);
     # no loss scaling needed (bf16 shares fp32's exponent range)
     bf16_compute: bool = False
+    # ship the big condition features (audio 499x768, word 150x768 — the
+    # dominant batch bytes) to the device as bfloat16: numerically free on
+    # TPU (the MXU rounds f32 matmul operands to bf16 anyway — measured
+    # bit-identical, docs/PERFORMANCE.md) but HALVES the per-step
+    # host->device transfer that dominates wall time on remote-hosted
+    # chips.  None = auto: on for the TPU backend, off elsewhere (CPU
+    # matmuls are true f32, so the cast would change test numerics).
+    bf16_conditions: Optional[bool] = None
 
 
 def param_labels(params) -> Any:

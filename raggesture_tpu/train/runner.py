@@ -52,12 +52,25 @@ DEVICE_BATCH_KEYS = (
 _MOTION_KEYS = ("motion_upper", "motion_lower", "motion_face",
                 "motion_hands", "trans", "facial", "contact")
 
+# raw condition features: the dominant batch bytes (audio 499x768 + word
+# 150x768 f32 ~= 2 MB/sample) and pure matmul inputs downstream — safe to
+# ship bf16 on TPU (the MXU rounds f32 matmul operands to bf16 anyway)
+_CONDITION_FEATURE_KEYS = ("word", "audio")
 
-def device_batch(batch: Dict[str, Any]) -> Dict[str, np.ndarray]:
+
+def device_batch(batch: Dict[str, Any],
+                 bf16_conditions: bool = False) -> Dict[str, np.ndarray]:
     keys = DEVICE_BATCH_KEYS
     if "latent_mu" in batch:
         keys = tuple(k for k in keys if k not in _MOTION_KEYS)
-    return {k: batch[k] for k in keys if k in batch}
+    out = {k: batch[k] for k in keys if k in batch}
+    if bf16_conditions:
+        import ml_dtypes
+
+        for k in _CONDITION_FEATURE_KEYS:
+            if k in out:
+                out[k] = np.asarray(out[k]).astype(ml_dtypes.bfloat16)
+    return out
 
 
 def train_model(
@@ -97,6 +110,15 @@ def train_model(
     if params is None:
         raise ValueError("params required (use architecture.init_params)")
     state, tx = create_train_state(model, params, optim_cfg)
+
+    bf16_conds = optim_cfg.bf16_conditions
+    if bf16_conds is None:  # auto: free on TPU, numerics-visible on CPU
+        bf16_conds = jax.default_backend() == "tpu"
+    if bf16_conds:
+        logger.info("shipping condition features (word/audio) as bfloat16")
+
+    def dbatch(b):
+        return device_batch(b, bf16_conditions=bf16_conds)
 
     ckpt = CheckpointManager(workdir, interval=checkpoint_interval,
                              max_to_keep=checkpoint_max_to_keep)
@@ -209,7 +231,7 @@ def train_model(
 
             for batch in train_loader:
                 if t_sampler is not None:
-                    db = shard_batch(device_batch(batch), mesh)
+                    db = shard_batch(dbatch(batch), mesh)
                     B = next(iter(db.values())).shape[0]
                     t_np, w_np = t_sampler.sample_np(t_rng, B)
                     state, logs = step_fn(
@@ -222,7 +244,7 @@ def train_model(
                         logs.pop("t", None)
                     log_step(logs)
                 elif multi_fn is not None:
-                    hb = device_batch(batch)
+                    hb = dbatch(batch)
                     if mbuf and any(
                             np.shape(mbuf[0][k2]) != np.shape(hb[k2])
                             for k2 in mbuf[0]):
@@ -238,7 +260,7 @@ def train_model(
                     state, logs = multi_fn(state, sb, rng)
                     log_step(logs, k=multi_step)
                 else:
-                    db = shard_batch(device_batch(batch), mesh)
+                    db = shard_batch(dbatch(batch), mesh)
                     state, logs = step_fn(state, db, rng)
                     log_step(logs)
             flush_mbuf()  # epoch tail shorter than multi_step
@@ -248,7 +270,7 @@ def train_model(
                 for vb_i, vbatch in enumerate(val_loader):
                     if vb_i >= val_max_batches:
                         break
-                    vdb = shard_batch(device_batch(vbatch), mesh)
+                    vdb = shard_batch(dbatch(vbatch), mesh)
                     val_logs.append(val_fn(state, vdb, rng))
                 if val_logs:
                     agg = {k: float(np.mean([float(l[k]) for l in val_logs]))

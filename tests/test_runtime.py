@@ -529,3 +529,38 @@ def test_train_model_multi_step(tmp_path):
     )
     assert int(state.step) == 6  # 2 epochs x 3 batches, none dropped
     assert os.path.exists(os.path.join(wd, "metrics.jsonl"))
+
+
+def test_device_batch_bf16_conditions():
+    """bf16_conditions casts ONLY the big condition features; the training
+    step runs on them and lands near the f32 loss (the cast is exactly the
+    bf16 input rounding TPU matmuls apply anyway, docs/PERFORMANCE.md)."""
+    import ml_dtypes
+
+    from raggesture_tpu.train.loop import make_train_step
+    from raggesture_tpu.train.runner import device_batch
+
+    batch = {k: np.asarray(v) for k, v in tiny_batch(batch=4).items()}
+    db = device_batch(batch, bf16_conditions=True)
+    assert db["word"].dtype == ml_dtypes.bfloat16
+    assert db["audio"].dtype == ml_dtypes.bfloat16
+    assert db["motion_upper"].dtype == np.float32
+    assert db["motion_mask"].dtype == np.float32
+    # default stays untouched
+    db32 = device_batch(batch)
+    assert db32["word"].dtype == np.float32
+
+    cfg = tiny_arch_config()
+    model = MotionDiffusionModel(cfg)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "vae": jax.random.PRNGKey(1)},
+        tiny_batch(batch=2))
+    state, tx = create_train_state(model, params, OptimConfig(total_steps=4))
+    step = jax.jit(make_train_step(model, tx, cfg.diffusion_train.schedule()))
+    rng = jax.random.PRNGKey(3)
+    _, logs32 = step(state, {k: jnp.asarray(v) for k, v in db32.items()}, rng)
+    _, logs16 = step(state, {k: jnp.asarray(v) for k, v in db.items()}, rng)
+    l32 = float(logs32["recon_loss"])
+    l16 = float(logs16["recon_loss"])
+    assert np.isfinite(l16)
+    np.testing.assert_allclose(l16, l32, rtol=5e-2)
