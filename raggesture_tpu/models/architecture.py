@@ -493,7 +493,8 @@ class StagedGenerator:
 
     def __init__(self, model: MotionDiffusionModel, params,
                  sched_test: DiffusionSchedule, fused: bool = False,
-                 merged_ca: bool = False, layer_kernel: bool = True):
+                 merged_ca: bool = False, layer_kernel: bool = True,
+                 bf16_conditions: Optional[bool] = None):
         """``fused=True`` routes every denoiser call through the performance
         apply-path (models/fused_denoiser.py: Pallas self-attention kernel +
         stacked adaLN) — numerically equivalent, inference-only.
@@ -526,6 +527,14 @@ class StagedGenerator:
         # an explicitly-requested merged_ca wins over the default-on
         # layer kernel (fused_denoise_ctx checks layer_kernel first)
         self.layer_kernel = layer_kernel and not merged_ca
+        # ship the big condition features (word/audio, ~1.6 MB/clip) to the
+        # device as bfloat16: on TPU the MXU rounds f32 matmul operands to
+        # bf16 anyway (docs/PERFORMANCE.md), so this halves the dominant
+        # per-dispatch transfer at zero numeric cost.  Off by default on
+        # CPU, where matmuls are true f32 and the cast would be visible.
+        self.bf16_conditions = (
+            bf16_conditions if bf16_conditions is not None
+            else jax.default_backend() == "tpu")
         cfg = model.cfg
 
         self._encode = jax.jit(
@@ -905,6 +914,25 @@ class StagedGenerator:
             self._inv_stack_cache.pop(next(iter(self._inv_stack_cache)))
         return assembled
 
+    def _cast_conds(self, d):
+        """bf16 on the wire for word/audio (see ``bf16_conditions``).
+
+        np arrays are cast HOST-side (that is where the transfer saving
+        is); arrays already on device just change dtype in-graph."""
+        if not self.bf16_conditions:
+            return d
+        import ml_dtypes
+        import numpy as np
+
+        out = dict(d)
+        for k in ("word", "audio"):
+            v = out.get(k)
+            if isinstance(v, np.ndarray):
+                out[k] = v.astype(ml_dtypes.bfloat16)
+            elif v is not None:
+                out[k] = jnp.asarray(v, jnp.bfloat16)
+        return out
+
     def _splice_maps_memo(self, splice, B: int):
         """Memoized splice_maps: the gather/mask build is pure host data
         layout + two device puts — worth skipping on repeat calls."""
@@ -943,8 +971,8 @@ class StagedGenerator:
         """Single-dispatch plain generation (see sample_pipeline above).
         Identical to ``self(batch, rng)`` with default InferenceOptions
         (both route through sample_pipeline)."""
-        b = {k: batch[k] for k in ("word", "audio", "speaker_ids",
-                                   "motion_mask")}
+        b = self._cast_conds({k: batch[k] for k in (
+            "word", "audio", "speaker_ids", "motion_mask")})
         return self._sample_pipeline(self.params, b, rng, self._pro)
 
     def inversion_self_check(self, re_dict) -> Dict[str, jnp.ndarray]:
@@ -962,7 +990,8 @@ class StagedGenerator:
         p = self.params
         inv_lat = jnp.asarray(re_dict["inv_latents"])
         inv_mask = jnp.asarray(re_dict["inv_mask"])
-        inv_conds = self._conds(p, _inv_conds_core(re_dict))
+        inv_conds = self._conds(
+            p, self._cast_conds(_inv_conds_core(re_dict)))
         stack = self._invert(p, inv_lat, inv_mask, inv_conds, self._pro)
         error_curve = jnp.mean((stack - inv_lat[None]) ** 2, axis=(2, 3))
         recon = self._ddim_cond(p, stack[-1], inv_mask, inv_conds, self._pro)
@@ -986,9 +1015,9 @@ class StagedGenerator:
             # keep the general staged path below
             gi = guidance_iters if guidance_iters is not None else \
                 guidance_iters_schedule("constant", self.sched.num_timesteps)
-            core = {k: batch[k] for k in ("word", "audio", "speaker_ids",
-                                          "motion_mask")}
-            inv_core = _inv_conds_core(re_dict)
+            core = self._cast_conds({k: batch[k] for k in (
+                "word", "audio", "speaker_ids", "motion_mask")})
+            inv_core = self._cast_conds(_inv_conds_core(re_dict))
             inv_lat = jnp.asarray(re_dict["inv_latents"])
             inv_mask = jnp.asarray(re_dict["inv_mask"])
             B = jnp.asarray(batch["motion_mask"]).shape[0]
@@ -1024,8 +1053,8 @@ class StagedGenerator:
         if not opts.use_inversion and not opts.insertion_guidance:
             # plain / outpaint / prev-latent generation without inversion:
             # also one dispatch (sample_pipeline variants)
-            core = {k: batch[k] for k in ("word", "audio", "speaker_ids",
-                                          "motion_mask")}
+            core = self._cast_conds({k: batch[k] for k in (
+                "word", "audio", "speaker_ids", "motion_mask")})
             if opts.use_prev_latent and prev_latent is not None:
                 in_seq = masked_prev_latent(dcfg, prev_latent)
             elif opts.outpaint:
@@ -1039,17 +1068,18 @@ class StagedGenerator:
         r_noise, r_coef, r_loop = jax.random.split(rng, 3)
 
         z_gt, token_mask, conds = self._encode_and_conds(
-            p, {k: batch[k] for k in (
+            p, self._cast_conds({k: batch[k] for k in (
                 "motion_upper", "motion_lower", "motion_face", "motion_hands",
                 "trans", "facial", "contact", "motion_mask", "word", "audio",
-                "speaker_ids") if k in batch})
+                "speaker_ids") if k in batch}))
         B, T, D = z_gt.shape
         coef_table, start_noise = self._prep(r_coef, r_noise, (B, T, D))
         js = joint_scale_vector(dcfg, cfg.per_joint_scale)
         inv_all = None
 
         if opts.use_inversion:
-            inv_conds = self._conds(p, _inv_conds_core(re_dict))
+            inv_conds = self._conds(
+            p, self._cast_conds(_inv_conds_core(re_dict)))
             inv_stack = self._invert(p, jnp.asarray(re_dict["inv_latents"]),
                                      jnp.asarray(re_dict["inv_mask"]),
                                      inv_conds, self._pro)
@@ -1145,12 +1175,18 @@ def splice_inverted(dcfg: DenoiserConfig, sched, start_noise, inv_stack,
                          int(inversion_start_time), bool(with_guidance))
 
 
-def _inv_conds_core(re_dict) -> Dict[str, jnp.ndarray]:
-    """The retrieved exemplars' own raw conditions (for inversion)."""
+def _inv_conds_core(re_dict) -> Dict[str, Any]:
+    """The retrieved exemplars' own raw conditions (for inversion).
+
+    Stays HOST-side (numpy) so StagedGenerator._cast_conds can apply the
+    bf16 wire cast before device placement; the jit boundary does the
+    device put either way."""
+    import numpy as np
+
     return {
-        "word": jnp.asarray(re_dict["inv_conds"]["word"]),
-        "audio": jnp.asarray(re_dict["inv_conds"]["audio"]),
-        "speaker_ids": jnp.asarray(re_dict["inv_conds"]["speaker_ids"]),
+        "word": np.asarray(re_dict["inv_conds"]["word"]),
+        "audio": np.asarray(re_dict["inv_conds"]["audio"]),
+        "speaker_ids": np.asarray(re_dict["inv_conds"]["speaker_ids"]),
     }
 
 

@@ -279,3 +279,41 @@ def test_inv_cache_eviction_never_drops_requested_names():
     gen.inv_cache_capacity = 1
     gen._cached_inv_stack(params, z, mask, core, ["ex_d", "ex_e"], 2)
     assert {"ex_d", "ex_e"} <= set(gen._inv_cache)
+
+
+def test_generator_bf16_conditions_cast():
+    """bf16_conditions ships word/audio bf16: the (linear) condition encode
+    must land within bf16 rounding of f32, and plain sampling must stay
+    finite.  (No 50-step output comparison — the chain is chaotic under
+    random weights, CLAUDE.md.)"""
+    import ml_dtypes
+
+    from raggesture_tpu.models.architecture import (
+        MotionDiffusionModel,
+        StagedGenerator,
+    )
+
+    cfg = tiny_arch_config()
+    model = MotionDiffusionModel(cfg)
+    batch = {k: np.asarray(v) for k, v in tiny_batch(batch=2).items()}
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "vae": jax.random.PRNGKey(1)},
+        tiny_batch(batch=2))
+    sched = cfg.diffusion_test.schedule()
+    gen16 = StagedGenerator(model, params, sched, bf16_conditions=True)
+    gen32 = StagedGenerator(model, params, sched, bf16_conditions=False)
+
+    d16 = gen16._cast_conds({k: batch[k] for k in ("word", "audio")})
+    assert d16["word"].dtype == ml_dtypes.bfloat16
+    assert gen32._cast_conds(dict(batch))["word"].dtype == np.float32
+
+    c16 = gen16._conds(params, dict(d16, speaker_ids=batch["speaker_ids"]))
+    c32 = gen32._conds(params, {k: batch[k] for k in (
+        "word", "audio", "speaker_ids")})
+    for k in c32:
+        np.testing.assert_allclose(np.asarray(c16[k]), np.asarray(c32[k]),
+                                   rtol=2e-2, atol=2e-2)
+
+    out = gen16.sample(batch, jax.random.PRNGKey(7))
+    for v in out.values():
+        assert np.isfinite(np.asarray(v)).all()
