@@ -176,6 +176,11 @@ def main():
     ap.add_argument("--all", action="store_true",
                     help="measure every BASELINE.md config and write "
                          "docs/BENCH_FULL.json")
+    ap.add_argument("--out", default=None,
+                    help="output path for --all (default: "
+                         "docs/BENCH_FULL.json on TPU; off-TPU runs write "
+                         "docs/BENCH_FULL.cpu.json so a CPU smoke never "
+                         "clobbers the TPU-measured artifact)")
     args = ap.parse_args()
     from raggesture_tpu.utils.env import setup_compilation_cache
 
@@ -453,8 +458,10 @@ def main():
 
     import os
 
-    os.makedirs("docs", exist_ok=True)
-    with open("docs/BENCH_FULL.json", "w") as f:
+    out_path = args.out or ("docs/BENCH_FULL.json" if on_tpu
+                            else "docs/BENCH_FULL.cpu.json")
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    with open(out_path, "w") as f:
         json.dump(full, f, indent=1)
     print(json.dumps(full, indent=1))
     print(json.dumps(headline))

@@ -143,3 +143,31 @@ def test_mesh_side_by_side(tmp_path):
 
     img = Image.open(out)
     assert img.size[0] == 2 * 320  # two mesh panels at default panel width
+
+
+def test_mesh_frames_falls_back_when_pyrender_egl_fails(monkeypatch):
+    """pyrender installed but EGL context creation failing must fall back
+    to the software rasterizer instead of crashing the render tool."""
+    import warnings
+
+    from raggesture_tpu.utils import visualization as V
+
+    def boom(*a, **k):
+        raise RuntimeError("EGL device query failed")
+
+    monkeypatch.setattr(V, "HAS_PYRENDER", True)
+    monkeypatch.setattr(V, "_pyrender_mesh_frames", boom)
+
+    verts = np.zeros((2, 4, 3), np.float32)
+    verts[:, 1, 0] = 0.5
+    verts[:, 2, 1] = 0.5
+    verts[:, 3, 2] = 0.5
+    faces = np.asarray([[0, 1, 2], [0, 2, 3]], np.int32)
+    active = np.ones((2,), bool)
+    cam, floor_y = V.compute_auto_framing(verts, active)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        frames = V.mesh_frames(verts, faces, active, cam, floor_y=floor_y,
+                               width=64, height=64)
+    assert len(frames) == 2 and frames[0].shape == (64, 64, 3)
+    assert any("falling back" in str(w.message) for w in rec)
