@@ -17,12 +17,13 @@ no host round-trips, static shapes throughout.
 
 Insertion guidance (reference :1267-1273, :1344-1378): at each step the
 latent takes ``guidance_iters[i]`` gradient-descent steps on
-``MSE(x * mask, inverted_latent_i)`` before the DDIM update.  Because that
-loss is diagonal-quadratic in ``x`` (the denoiser is NOT differentiated
-through — only the latent is), k GD steps have the exact closed form
-``x_k = inv + (1 - 2*lr/N)^k * (x_0 - inv)`` on masked coordinates; we use it
-by default (``exact_iters=False``) and keep the literal ``fori_loop`` for
-parity testing.
+``MSE(x * mask, inverted_latent_i)`` before the DDIM update.  The loss
+gradient is confined to the splice-mask rows, which the in-seq overwrite
+replaces with ``q_sample(inverted_latent_i)`` BEFORE the model call — so
+the GD provably never reaches the model, and the default guided path skips
+it entirely (see ``ddim_guided_sample_loop``).  ``exact_iters=True`` runs
+the literal per-step ``fori_loop`` GD (``guidance_update``) for parity;
+``test_diffusion_math.py`` asserts the two paths are bit-identical.
 """
 
 from __future__ import annotations
@@ -238,29 +239,26 @@ def ddim_reverse_sample_loop(model_fn: ModelFn, sched: DiffusionSchedule,
     return all_x if return_all_timesteps else x
 
 
-def guidance_update(x, inverted_latent, n_iters, lr, *, exact_iters=False):
-    """Apply ``n_iters`` gradient-descent steps on
+def guidance_update(x, inverted_latent, n_iters, lr):
+    """Apply ``n_iters`` literal gradient-descent steps on
     MSE(x * mask, inverted_latent) w.r.t. x (reference :1267-1273, 1344-1378).
 
     ``mask`` is rows of ``inverted_latent`` that are nonzero over the feature
-    dim.  Default path is the exact closed form of k GD iterations on this
-    diagonal quadratic; ``exact_iters=True`` runs the literal loop instead.
-    """
+    dim.  Only the guided loop's ``exact_iters=True`` parity path calls this
+    — the default path skips the GD because the subsequent in-seq splice
+    overwrites every coordinate it changes (the gradient is diagonal in x
+    and confined to the mask rows; k steps equal the closed form
+    ``inv + (1 - 2*lr/N)^k * (x - inv)`` there, all of it then replaced by
+    ``q_sample(inverted_latent)``)."""
     mask = jnp.any(inverted_latent != 0, axis=-1, keepdims=True).astype(x.dtype)
-    n_elem = float(x.size)  # static B*T*D — torch mse_loss means over all elements
 
-    if exact_iters:
-        def gd_body(_, xc):
-            def loss_fn(xq):
-                return jnp.mean((xq * mask - inverted_latent) ** 2)
-            g = jax.grad(loss_fn)(xc)
-            return xc - lr * g
-        return jax.lax.fori_loop(0, n_iters, gd_body, x)
+    def gd_body(_, xc):
+        def loss_fn(xq):
+            return jnp.mean((xq * mask - inverted_latent) ** 2)
+        g = jax.grad(loss_fn)(xc)
+        return xc - lr * g
 
-    # closed form: masked coords decay toward the inverted latent
-    factor = jnp.power(1.0 - 2.0 * lr / n_elem, n_iters.astype(x.dtype))
-    guided = inverted_latent + factor * (x - inverted_latent)
-    return x * (1.0 - mask) + guided * mask
+    return jax.lax.fori_loop(0, n_iters, gd_body, x)
 
 
 def ddim_guided_sample_loop(model_fn: ModelFn, sched: DiffusionSchedule, noise,
@@ -322,8 +320,7 @@ def ddim_guided_sample_loop(model_fn: ModelFn, sched: DiffusionSchedule, noise,
             # provably overwritten by the splice below on every coordinate
             # it changes, so this is equal to the default path
             n_iter = jnp.where(i == (S - 1), 0, guidance_iters[i])
-            x = guidance_update(x, inverted_latents[i], n_iter, guidance_lr,
-                                exact_iters=True)
+            x = guidance_update(x, inverted_latents[i], n_iter, guidance_lr)
         x = x * (1.0 - m_all[i]) + noised_all[i] * m_all[i]
         x, _ = ddim_step(model_fn, sched, x, t, i, r_noise,
                          mean_type=mean_type, var_type=var_type, eta=eta,

@@ -457,6 +457,16 @@ def generate(
         in_seq = rml[:, 0] if rml.ndim == 4 else rml
 
     if cfg.inference_type == "ddpm":
+        # the DDPM loop takes none of the DDIM-only hooks — fail loudly
+        # instead of silently discarding the (already computed) inversion
+        # splice / in_seq (the reference cannot reach this combination
+        # either: its guided/outpaint paths are DDIM-only,
+        # diffusion_architecture.py:424-474)
+        if opts.use_inversion or opts.insertion_guidance or in_seq is not None:
+            raise ValueError(
+                "inference_type='ddpm' supports none of use_inversion/"
+                "insertion_guidance/outpaint/prev-latent — use the ddim "
+                "sampler (the shipped config) for retrieval-guided modes")
         out = S.ddpm_sample_loop(model_fn, sched_test, start_noise, r_loop,
                                  **common)
     elif opts.insertion_guidance:
@@ -489,7 +499,9 @@ class StagedGenerator:
     compiles in minutes, with each stage cached independently.
 
     Supports the same options as :func:`generate` (inversion + insertion
-    guidance + prev-latent + outpaint)."""
+    guidance + prev-latent + outpaint) EXCEPT stochastic DDIM: every
+    pipeline compiles the RNG-free eta=0 chain, and a nonzero
+    ``InferenceOptions.eta`` raises (use :func:`generate` for eta > 0)."""
 
     def __init__(self, model: MotionDiffusionModel, params,
                  sched_test: DiffusionSchedule, fused: bool = False,
@@ -514,7 +526,7 @@ class StagedGenerator:
         # conditions) — and memoized retrieval returns the SAME exemplars
         # across many clips, so the trajectories are reused.  Keyed by the
         # exemplar's sample name (re_dict["inv_names"]); each entry is an
-        # (S+1, T, D) stack (~4.5 MB at flagship size).
+        # (S, T, D) stack (~4.4 MB at flagship size).
         self.inv_cache_capacity = 64
         self._inv_cache: Dict[str, jnp.ndarray] = {}
         # assembled (stacked+padded) trajectories keyed by the exemplar-name
@@ -716,6 +728,47 @@ class StagedGenerator:
 
         self._prep = jax.jit(prep, static_argnames=("shape",))
 
+        def pipeline_prologue(p, core, rng, pro):
+            """Shared pipeline head: rng splits (mirroring __call__, so
+            pipeline outputs match the staged path bit-for-bit for the same
+            rng), condition encoders, token mask from the frame mask (the
+            GT motion encode — 4 VAE encoders — is skipped entirely),
+            scale-func coefficient table + start noise, and the mixed
+            model_fn with its precomputed cross-attention contexts."""
+            r_noise, r_coef, r_loop = jax.random.split(rng, 3)
+            conds = model.apply(p, core, method=model.encode_conditions)
+            token_mask = latent_motion_mask(cfg.denoiser,
+                                            core["motion_mask"])
+            B = token_mask.shape[0]
+            T, D = cfg.denoiser.num_tokens, cfg.denoiser.latent_dim
+            coef_table, noise = prep(r_coef, r_noise, (B, T, D))
+            qm = default_query_masks(cfg.denoiser, B)
+            js = joint_scale_vector(cfg.denoiser, cfg.per_joint_scale)
+            model_fn = build_model_fn(p, conds, token_mask, qm, coef_table,
+                                      js, mixed=True, pro=pro)
+            return model_fn, noise, r_loop
+
+        def pipeline_results(p, out):
+            """Shared pipeline tail: 4-part VAE decode + the uniform return
+            contract (same keys for every option combination)."""
+            decoded = model.apply(p, out, method=model.decode_latents)
+            results = {f"pred_{k}": v for k, v in decoded.items()}
+            results["prev_latentout"] = out
+            results["output_latents"] = out
+            return results
+
+        def invert_section(p, inv_core, inv_lat, inv_mask, pro):
+            """Batched exemplar inversion under the exemplars' OWN raw
+            conditions (no scale-func mixing)."""
+            inv_conds = model.apply(p, inv_core,
+                                    method=model.encode_conditions)
+            qm_inv = default_query_masks(cfg.denoiser, inv_lat.shape[0])
+            mf_inv = build_model_fn(p, inv_conds, inv_mask, qm_inv, None,
+                                    None, mixed=False, pro=pro)
+            return S.ddim_reverse_sample_loop(
+                mf_inv, sched_test, inv_lat, return_all_timesteps=True,
+                **self._common)
+
         def sample_pipeline(p, batch, rng, pro):
             """Plain DDIM generation as ONE program: condition encoders ->
             scale-func table + start noise -> 50-step sampling scan -> 4-part
@@ -725,53 +778,21 @@ class StagedGenerator:
             tunnel round trip each on remote-TPU rigs); plain generation
             (no retrieval / inversion / in_seq — the bench.py protocol and
             the no-retrieval visualize path) needs none of the intermediate
-            host values, so it runs in a single dispatch.  The GT motion
-            encode (4 VAE encoders) is skipped entirely — plain sampling
-            needs only the token mask, which is a stride of the frame mask
-            (latent_motion_mask).  RNG splits mirror __call__, so outputs
-            match the staged path bit-for-bit for the same rng."""
-            r_noise, r_coef, r_loop = jax.random.split(rng, 3)
-            conds = model.apply(p, batch, method=model.encode_conditions)
-            token_mask = latent_motion_mask(cfg.denoiser,
-                                            batch["motion_mask"])
-            B = token_mask.shape[0]
-            T, D = cfg.denoiser.num_tokens, cfg.denoiser.latent_dim
-            coef_table, noise = prep(r_coef, r_noise, (B, T, D))
-            qm = default_query_masks(cfg.denoiser, B)
-            js = joint_scale_vector(cfg.denoiser, cfg.per_joint_scale)
-            model_fn = build_model_fn(p, conds, token_mask, qm, coef_table,
-                                      js, mixed=True, pro=pro)
+            host values, so it runs in a single dispatch."""
+            model_fn, noise, r_loop = pipeline_prologue(p, batch, rng, pro)
             out = S.ddim_sample_loop(model_fn, sched_test, noise, r_loop,
                                      **self._common)
-            decoded = model.apply(p, out, method=model.decode_latents)
-            results = {f"pred_{k}": v for k, v in decoded.items()}
-            results["prev_latentout"] = out
-            results["output_latents"] = out
-            return results
+            return pipeline_results(p, out)
 
         self._sample_pipeline = jax.jit(sample_pipeline)
 
         def sample_inseq_pipeline(p, batch, rng, in_seq, pro):
             """sample_pipeline with the in_seq q-sample overwrite (outpaint
             / prev-latent long-form handoff) — one dispatch per chunk."""
-            r_noise, r_coef, r_loop = jax.random.split(rng, 3)
-            conds = model.apply(p, batch, method=model.encode_conditions)
-            token_mask = latent_motion_mask(cfg.denoiser,
-                                            batch["motion_mask"])
-            B = token_mask.shape[0]
-            T, D = cfg.denoiser.num_tokens, cfg.denoiser.latent_dim
-            coef_table, noise = prep(r_coef, r_noise, (B, T, D))
-            qm = default_query_masks(cfg.denoiser, B)
-            js = joint_scale_vector(cfg.denoiser, cfg.per_joint_scale)
-            model_fn = build_model_fn(p, conds, token_mask, qm, coef_table,
-                                      js, mixed=True, pro=pro)
+            model_fn, noise, r_loop = pipeline_prologue(p, batch, rng, pro)
             out = S.ddim_sample_loop(model_fn, sched_test, noise, r_loop,
                                      in_seq=in_seq, **self._common)
-            decoded = model.apply(p, out, method=model.decode_latents)
-            results = {f"pred_{k}": v for k, v in decoded.items()}
-            results["prev_latentout"] = out
-            results["output_latents"] = out
-            return results
+            return pipeline_results(p, out)
 
         self._sample_inseq_pipeline = jax.jit(sample_inseq_pipeline)
 
@@ -781,39 +802,17 @@ class StagedGenerator:
             program (the common retrieval-guided configuration: no
             outpaint / prev-latent).  The staged path pays ~7 host->device
             dispatches per clip; this pays 1.  The splice gather/mask index
-            maps arrive precomputed (host data — see splice_inverted).
-            RNG splits mirror __call__."""
-            r_noise, r_coef, r_loop = jax.random.split(rng, 3)
-            conds = model.apply(p, core, method=model.encode_conditions)
-            token_mask = latent_motion_mask(cfg.denoiser,
-                                            core["motion_mask"])
-            B = token_mask.shape[0]
-            T, D = cfg.denoiser.num_tokens, cfg.denoiser.latent_dim
-            coef_table, noise = prep(r_coef, r_noise, (B, T, D))
-            inv_conds = model.apply(p, inv_core,
-                                    method=model.encode_conditions)
-            qm_inv = default_query_masks(cfg.denoiser, inv_lat.shape[0])
-            mf_inv = build_model_fn(p, inv_conds, inv_mask, qm_inv, None,
-                                    None, mixed=False, pro=pro)
-            inv_stack = S.ddim_reverse_sample_loop(
-                mf_inv, sched_test, inv_lat, return_all_timesteps=True,
-                **self._common)
+            maps arrive precomputed (host data — see splice_inverted)."""
+            model_fn, noise, r_loop = pipeline_prologue(p, core, rng, pro)
+            inv_stack = invert_section(p, inv_core, inv_lat, inv_mask, pro)
             start_noise, inv_all = _splice_apply(
                 noise, inv_stack, gather, smask, inversion_start_time, True)
-            qm = default_query_masks(cfg.denoiser, B)
-            js = joint_scale_vector(cfg.denoiser, cfg.per_joint_scale)
-            mf = build_model_fn(p, conds, token_mask, qm, coef_table, js,
-                                mixed=True, pro=pro)
             out = S.ddim_guided_sample_loop(
-                mf, sched_test, start_noise, r_loop,
+                model_fn, sched_test, start_noise, r_loop,
                 inverted_latents=inv_all, guidance_iters=gi,
                 guidance_lr=lr, init_in_seq=jnp.zeros_like(start_noise),
                 **self._common)
-            decoded = model.apply(p, out, method=model.decode_latents)
-            results = {f"pred_{k}": v for k, v in decoded.items()}
-            results["prev_latentout"] = out
-            results["output_latents"] = out
-            return results
+            return pipeline_results(p, out)
 
         self._guided_pipeline = jax.jit(
             guided_pipeline, static_argnames=("inversion_start_time",))
@@ -821,33 +820,19 @@ class StagedGenerator:
         def guided_pipeline_cached(p, core, inv_stack, gather, smask, gi,
                                    lr, rng, pro, inversion_start_time):
             """guided_pipeline with the exemplar-inversion scan REMOVED:
-            ``inv_stack`` (S+1, Q, T, D) arrives precomputed (from the
+            ``inv_stack`` (S, Q, T, D) arrives precomputed (from the
             per-exemplar inversion cache).  At full cache hit the guided
             configuration costs the same scan as plain sampling plus the
             analytic guidance updates."""
-            r_noise, r_coef, r_loop = jax.random.split(rng, 3)
-            conds = model.apply(p, core, method=model.encode_conditions)
-            token_mask = latent_motion_mask(cfg.denoiser,
-                                            core["motion_mask"])
-            B = token_mask.shape[0]
-            T, D = cfg.denoiser.num_tokens, cfg.denoiser.latent_dim
-            coef_table, noise = prep(r_coef, r_noise, (B, T, D))
+            model_fn, noise, r_loop = pipeline_prologue(p, core, rng, pro)
             start_noise, inv_all = _splice_apply(
                 noise, inv_stack, gather, smask, inversion_start_time, True)
-            qm = default_query_masks(cfg.denoiser, B)
-            js = joint_scale_vector(cfg.denoiser, cfg.per_joint_scale)
-            mf = build_model_fn(p, conds, token_mask, qm, coef_table, js,
-                                mixed=True, pro=pro)
             out = S.ddim_guided_sample_loop(
-                mf, sched_test, start_noise, r_loop,
+                model_fn, sched_test, start_noise, r_loop,
                 inverted_latents=inv_all, guidance_iters=gi,
                 guidance_lr=lr, init_in_seq=jnp.zeros_like(start_noise),
                 **self._common)
-            decoded = model.apply(p, out, method=model.decode_latents)
-            results = {f"pred_{k}": v for k, v in decoded.items()}
-            results["prev_latentout"] = out
-            results["output_latents"] = out
-            return results
+            return pipeline_results(p, out)
 
         self._guided_pipeline_cached = jax.jit(
             guided_pipeline_cached,
@@ -872,7 +857,7 @@ class StagedGenerator:
 
     def _cached_inv_stack(self, p, inv_lat, inv_mask, inv_core, names,
                           q_bucket):
-        """(S+1, q_bucket, T, D) padded inversion trajectories with
+        """(S, q_bucket, T, D) padded inversion trajectories with
         per-exemplar caching.
 
         Misses are inverted in ONE bucketed _invert call (power-of-two Q so
@@ -915,23 +900,15 @@ class StagedGenerator:
         return assembled
 
     def _cast_conds(self, d):
-        """bf16 on the wire for word/audio (see ``bf16_conditions``).
-
-        np arrays are cast HOST-side (that is where the transfer saving
-        is); arrays already on device just change dtype in-graph."""
+        """bf16 on the wire for word/audio (see ``bf16_conditions``):
+        one shared policy with the train runner (utils/wire.py).  Numpy
+        arrays only — device-resident inputs were already shipped, and an
+        eager device cast would add a dispatch for nothing."""
         if not self.bf16_conditions:
             return d
-        import ml_dtypes
-        import numpy as np
+        from ..utils.wire import cast_condition_features
 
-        out = dict(d)
-        for k in ("word", "audio"):
-            v = out.get(k)
-            if isinstance(v, np.ndarray):
-                out[k] = v.astype(ml_dtypes.bfloat16)
-            elif v is not None:
-                out[k] = jnp.asarray(v, jnp.bfloat16)
-        return out
+        return cast_condition_features(d)
 
     def _splice_maps_memo(self, splice, B: int):
         """Memoized splice_maps: the gather/mask build is pure host data
@@ -1003,6 +980,14 @@ class StagedGenerator:
     def __call__(self, batch, rng, opts: InferenceOptions = InferenceOptions(),
                  re_dict=None, guidance_iters=None, prev_latent=None):
         opts.validate()
+        if opts.eta:
+            # every StagedGenerator pipeline is compiled as the RNG-free
+            # eta=0 DDIM chain (the shipped config, docs/PERFORMANCE.md);
+            # silently ignoring a nonzero eta would return deterministic
+            # samples for a stochastic request
+            raise NotImplementedError(
+                "StagedGenerator compiles eta=0 DDIM only; use generate() "
+                "for eta > 0")
         cfg = self.model.cfg
         dcfg = cfg.denoiser
         p = self.params

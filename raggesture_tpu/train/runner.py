@@ -52,12 +52,6 @@ DEVICE_BATCH_KEYS = (
 _MOTION_KEYS = ("motion_upper", "motion_lower", "motion_face",
                 "motion_hands", "trans", "facial", "contact")
 
-# raw condition features: the dominant batch bytes (audio 499x768 + word
-# 150x768 f32 ~= 2 MB/sample) and pure matmul inputs downstream — safe to
-# ship bf16 on TPU (the MXU rounds f32 matmul operands to bf16 anyway)
-_CONDITION_FEATURE_KEYS = ("word", "audio")
-
-
 def device_batch(batch: Dict[str, Any],
                  bf16_conditions: bool = False) -> Dict[str, np.ndarray]:
     keys = DEVICE_BATCH_KEYS
@@ -65,11 +59,11 @@ def device_batch(batch: Dict[str, Any],
         keys = tuple(k for k in keys if k not in _MOTION_KEYS)
     out = {k: batch[k] for k in keys if k in batch}
     if bf16_conditions:
-        import ml_dtypes
+        # shared wire-cast policy with inference (utils/wire.py): ship the
+        # big condition features bf16 — safe on TPU, halves the bytes
+        from ..utils.wire import cast_condition_features
 
-        for k in _CONDITION_FEATURE_KEYS:
-            if k in out:
-                out[k] = np.asarray(out[k]).astype(ml_dtypes.bfloat16)
+        out = cast_condition_features(out)
     return out
 
 

@@ -317,3 +317,46 @@ def test_generator_bf16_conditions_cast():
     out = gen16.sample(batch, jax.random.PRNGKey(7))
     for v in out.values():
         assert np.isfinite(np.asarray(v)).all()
+
+
+def test_option_guards_eta_and_ddpm():
+    """StagedGenerator raises on eta>0 (its pipelines compile the RNG-free
+    eta=0 chain) and generate() raises on ddpm + DDIM-only hooks instead of
+    silently discarding them."""
+    import dataclasses as dc
+
+    from raggesture_tpu.models.architecture import (
+        InferenceOptions,
+        MotionDiffusionModel,
+        StagedGenerator,
+        generate,
+    )
+
+    cfg = tiny_arch_config()
+    model = MotionDiffusionModel(cfg)
+    batch = tiny_batch(batch=2)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "vae": jax.random.PRNGKey(1)},
+        batch)
+    sched = cfg.diffusion_test.schedule()
+    gen = StagedGenerator(model, params, sched)
+    with pytest.raises(NotImplementedError, match="eta"):
+        gen(batch, jax.random.PRNGKey(0), opts=InferenceOptions(eta=0.5))
+
+    ddpm_cfg = dc.replace(cfg, inference_type="ddpm")
+    ddpm_model = MotionDiffusionModel(ddpm_cfg)
+    z, mask = jax.jit(lambda p, b: model.apply(
+        p, b, rng=None, sample=False, method=model.encode_motion))(
+            params, batch)
+    re_dict = {
+        "inv_latents": z, "inv_mask": mask,
+        "inv_conds": {"word": batch["word"], "audio": batch["audio"],
+                      "speaker_ids": batch["speaker_ids"]},
+        "splice": jnp.asarray([[0, 0, 0, 1]], jnp.int32)[:2],
+    }
+    with pytest.raises(ValueError, match="ddpm"):
+        generate(ddpm_model, params, sched, batch, jax.random.PRNGKey(0),
+                 opts=InferenceOptions(use_inversion=True,
+                                       insertion_guidance=True),
+                 re_dict=dict(re_dict, splice=jnp.asarray(
+                     [[0, 0, 0, 1], [1, 0, 0, 1]], jnp.int32)))
