@@ -601,6 +601,7 @@ class StagedGenerator:
             from .fused_denoiser import (
                 adaln_table,
                 fused_denoise_ctx,
+                layer_kernel_mask_rows,
                 pack_layers,
                 precompute_cross_contexts,
                 stack_layer_contexts,
@@ -620,6 +621,30 @@ class StagedGenerator:
                 table = adaln_table(p, cfg.denoiser,
                                     jnp.asarray(sched_test.timestep_map))
                 wpacks = pack_layers(pd, cfg.denoiser, self.layer_kernel)
+
+            def _stack_ctx3(ctx):
+                # per-layer (B, 3, D, D) context stacks: conditions-only,
+                # built once per run OUTSIDE the scan (XLA does not hoist
+                # ops feeding a Pallas custom-call out of the loop).  The
+                # layer kernel wants pack-precision (bf16) stacks; the
+                # optional merged-CA kernel keeps its historical f32.
+                if jax.default_backend() != "tpu":
+                    return None
+                if self.layer_kernel:
+                    return stack_layer_contexts(cfg.denoiser, ctx)
+                if self.merged_ca:
+                    return stack_layer_contexts(cfg.denoiser, ctx,
+                                                dtype=jnp.float32)
+                return None
+
+            def _mask_rows(mask, qmasks):
+                # once-per-run validity/query-mask row tables for the layer
+                # kernel (conditions-only — the pad/stack must not repeat
+                # inside the scan, see layer_kernel_mask_rows)
+                if not (self.layer_kernel
+                        and jax.default_backend() == "tpu"):
+                    return None, None
+                return layer_kernel_mask_rows(cfg.denoiser, mask, qmasks)
             if mixed:
                 B = token_mask.shape[0]
                 conds2 = {k: jnp.concatenate([v, v], axis=0)
@@ -630,9 +655,8 @@ class StagedGenerator:
                 cm2 = jnp.concatenate(
                     [jnp.ones((B, 1, 1)), jnp.zeros((B, 1, 1))], axis=0)
                 ctx = precompute_cross_contexts(pd, cfg.denoiser, conds2, cm2)
-                ctx3s = (stack_layer_contexts(cfg.denoiser, ctx)
-                         if self.layer_kernel
-                         and jax.default_backend() == "tpu" else None)
+                ctx3s = _stack_ctx3(ctx)
+                mrows2, qrows2 = _mask_rows(mask2, qm2)
 
                 def model_fn(x, t_orig, step_idx):
                     Bx = x.shape[0]
@@ -643,16 +667,17 @@ class StagedGenerator:
                                             adaln_row=table[step_idx],
                                             layer_kernel=self.layer_kernel,
                                             packed_layers=wpacks,
-                                            ctx3_list=ctx3s)
+                                            ctx3_list=ctx3s,
+                                            mask_rows=mrows2,
+                                            qmask_rows=qrows2)
                     return mix_outputs(out, Bx, coef_table, step_idx, js)
 
                 return model_fn
 
             cm = jnp.ones((token_mask.shape[0], 1, 1))
             ctx = precompute_cross_contexts(pd, cfg.denoiser, conds, cm)
-            ctx3s = (stack_layer_contexts(cfg.denoiser, ctx)
-                     if self.layer_kernel
-                     and jax.default_backend() == "tpu" else None)
+            ctx3s = _stack_ctx3(ctx)
+            mrows, qrows = _mask_rows(token_mask, qm)
 
             def model_fn(x, t_orig, step_idx):
                 return fused_denoise_ctx(p, cfg.denoiser, x, t_orig,
@@ -661,7 +686,9 @@ class StagedGenerator:
                                          adaln_row=table[step_idx],
                                          layer_kernel=self.layer_kernel,
                                          packed_layers=wpacks,
-                                         ctx3_list=ctx3s)
+                                         ctx3_list=ctx3s,
+                                         mask_rows=mrows,
+                                         qmask_rows=qrows)
 
             return model_fn
 

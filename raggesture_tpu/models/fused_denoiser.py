@@ -90,6 +90,30 @@ def stacked_adaln(params: Dict, emb: jnp.ndarray, num_layers: int):
     return _split_adaln(out, two_d, num_layers)
 
 
+def unwrap_denoiser(params: Dict) -> Dict:
+    """The denoiser parameter subtree from either the bundle tree
+    ({"params": {"codec", "denoiser"}}) or a denoiser-only init tree."""
+    p = params["params"]
+    return p["denoiser"] if "denoiser" in p else p
+
+
+def embed_inputs(p: Dict, cfg: DenoiserConfig, latents: jnp.ndarray,
+                 motion_mask: jnp.ndarray):
+    """Shared denoiser input prologue (fused_denoise / fused_denoise_ctx;
+    flax source of truth: denoiser.py GestureDenoiser.__call__): validity
+    mask, joint_embed, per-part sine positions with zero separators, learned
+    global positions."""
+    T = latents.shape[1]
+    src_mask = motion_mask[..., None].astype(latents.dtype)
+    h = _dense(latents, p["joint_embed"])
+    pos = sine_position_table(cfg.tokens_per_part, cfg.latent_dim)
+    sep = jnp.zeros((1, cfg.latent_dim))
+    pos_cat = jnp.concatenate([pos, sep, pos, sep, pos, sep, pos], axis=0)
+    h = h + pos_cat[None, :T, :]
+    h = h + jnp.asarray(p["global_positional_embedding"]["pe"])[None, :T, :]
+    return h, src_mask
+
+
 def adaln_table(params: Dict, cfg: DenoiserConfig, t_all: jnp.ndarray
                 ) -> jnp.ndarray:
     """Precompute every sampling step's adaLN row in ONE GEMM.
@@ -105,8 +129,7 @@ def adaln_table(params: Dict, cfg: DenoiserConfig, t_all: jnp.ndarray
     Returns (S, n_slots·2D); index with the scan's step_idx and pass the row
     to fused_denoise_ctx(adaln_row=...).
     """
-    p = params["params"]["denoiser"] if "denoiser" in params.get(
-        "params", {}) else params["params"]
+    p = unwrap_denoiser(params)
     emb = timestep_embedding(t_all, cfg.latent_dim)
     emb = _dense(jax.nn.silu(_dense(emb, p["time_embed_1"])),
                  p["time_embed_2"])
@@ -193,24 +216,15 @@ def fused_denoise(
     # the Pallas kernel lowers for TPU only; everywhere else (CPU tests,
     # virtual-device dry runs) the XLA twin runs the same math
     use_pallas = use_pallas and jax.default_backend() == "tpu"
-    p = params["params"]["denoiser"] if "denoiser" in params.get(
-        "params", {}) else params["params"]
+    p = unwrap_denoiser(params)
     B, T, _ = latents.shape
     c = cfg
-    L = c.tokens_per_part
-
-    src_mask = motion_mask[..., None].astype(latents.dtype)
 
     emb = timestep_embedding(t_orig, c.latent_dim)
     emb = _dense(jax.nn.silu(_dense(emb, p["time_embed_1"])),
                  p["time_embed_2"])
 
-    h = _dense(latents, p["joint_embed"])
-    pos = sine_position_table(L, c.latent_dim)
-    sep = jnp.zeros((1, c.latent_dim))
-    pos_cat = jnp.concatenate([pos, sep, pos, sep, pos, sep, pos], axis=0)
-    h = h + pos_cat[None, :T, :]
-    h = h + jnp.asarray(p["global_positional_embedding"]["pe"])[None, :T, :]
+    h, src_mask = embed_inputs(p, c, latents, motion_mask)
 
     adaln = stacked_adaln(p, emb, c.num_layers)
 
@@ -321,6 +335,8 @@ def fused_denoise_ctx(
     layer_kernel: bool = False,
     packed_layers: tuple = None,
     ctx3_list: tuple = None,
+    mask_rows: jnp.ndarray = None,
+    qmask_rows: jnp.ndarray = None,
 ) -> jnp.ndarray:
     """fused_denoise with cached cross-attention contexts (inference path:
     the conditions never change within a sampling run).
@@ -333,24 +349,18 @@ def fused_denoise_ctx(
     (ops/pallas/linear_attention_kernel.py::fused_decoder_layer) with the
     batch folded into matmul rows; requires ``adaln_row``.  Pass
     ``packed_layers`` (one pack_decoder_layer weight dict per layer, pure
-    parameter layout) and ``ctx3_list`` (one stacked+cast (B, 3, D, D)
-    context per layer, built once per run OUTSIDE the sampling scan) so no
-    per-step operand marshaling remains — this function runs inside the
-    scan body, so any stack/cast left here repeats every step."""
+    parameter layout), ``ctx3_list`` (one stacked+cast (B, 3, D, D)
+    context per layer) and ``mask_rows``/``qmask_rows``
+    (layer_kernel_mask_rows) — all built once per run OUTSIDE the sampling
+    scan — so no per-step operand marshaling remains beyond the
+    (latents-dependent) h_rows pad.  This function runs inside the scan
+    body, so any stack/cast left here repeats every step."""
     use_pallas = use_pallas and jax.default_backend() == "tpu"
-    p = params["params"]["denoiser"] if "denoiser" in params.get(
-        "params", {}) else params["params"]
+    p = unwrap_denoiser(params)
     B, T, _ = latents.shape
     c = cfg
-    L = c.tokens_per_part
 
-    src_mask = motion_mask[..., None].astype(latents.dtype)
-    h = _dense(latents, p["joint_embed"])
-    pos = sine_position_table(L, c.latent_dim)
-    sep = jnp.zeros((1, c.latent_dim))
-    pos_cat = jnp.concatenate([pos, sep, pos, sep, pos, sep, pos], axis=0)
-    h = h + pos_cat[None, :T, :]
-    h = h + jnp.asarray(p["global_positional_embedding"]["pe"])[None, :T, :]
+    h, src_mask = embed_inputs(p, c, latents, motion_mask)
 
     from ..ops.pallas.linear_attention_kernel import (
         fused_cross_attention_cached,
@@ -358,7 +368,7 @@ def fused_denoise_ctx(
         fused_decoder_layer,
     )
 
-    if use_pallas:
+    if use_pallas and not layer_kernel:
         qm3 = jnp.stack(
             [jnp.ones((B, T)) if query_masks is None
              else query_masks[key].reshape(B, T) for key in COND_KEYS],
@@ -371,9 +381,12 @@ def fused_denoise_ctx(
         Tp = -(-T // 8) * 8
         pad = Tp - T
         h_rows = jnp.pad(h, ((0, 0), (0, pad), (0, 0))).reshape(B * Tp, D)
-        m_rows = jnp.pad(src_mask, ((0, 0), (0, pad), (0, 0))).reshape(
-            B * Tp, 1)
-        qm_rows = jnp.pad(qm3, ((0, 0), (0, pad), (0, 0))).reshape(B * Tp, 3)
+        if mask_rows is not None and qmask_rows is not None:
+            # hoisted once-per-run tables (layer_kernel_mask_rows)
+            m_rows, qm_rows = mask_rows, qmask_rows
+        else:
+            m_rows, qm_rows = layer_kernel_mask_rows(c, motion_mask,
+                                                     query_masks)
         if packed_layers is None:
             packed_layers = pack_layers(p, c)
         if ctx3_list is None:
@@ -408,8 +421,13 @@ def fused_denoise_ctx(
         if use_pallas and merged_ca:
             h = fused_self_attention(h, src_mask, s, sh, blk["sa_block"],
                                      num_heads=c.num_heads)
-            ctx3 = jnp.stack([ctx_cache[(i, key)] for key in COND_KEYS],
-                             axis=1)
+            # conditions-only stack: consume the once-per-run ctx3_list when
+            # provided — this function traces inside the sampling scan, and
+            # XLA does not hoist ops feeding a Pallas custom-call out of the
+            # loop (the in-loop stack is the fallback for direct calls)
+            ctx3 = (ctx3_list[i] if ctx3_list is not None
+                    else jnp.stack([ctx_cache[(i, key)] for key in COND_KEYS],
+                                   axis=1))
             scale3 = jnp.stack([adaln[(i, key)][0] for key in COND_KEYS],
                                axis=1)
             shift3 = jnp.stack([adaln[(i, key)][1] for key in COND_KEYS],
@@ -465,6 +483,25 @@ def stack_layer_contexts(dcfg: DenoiserConfig, ctx_cache: Dict,
         jnp.stack([ctx_cache[(i, key)] for key in COND_KEYS],
                   axis=1).astype(dtype)
         for i in range(dcfg.num_layers))
+
+
+def layer_kernel_mask_rows(dcfg: DenoiserConfig, motion_mask, query_masks):
+    """Once-per-run (B*Tp, 1) validity and (B*Tp, 3) query-mask row tables
+    for the layer kernel.  Both are conditions-only (loop-invariant across
+    a sampling run), so they are built OUTSIDE the scan and passed into
+    fused_denoise_ctx — the pad/stack would otherwise repeat every step
+    feeding a Pallas custom-call (the op class XLA does not hoist)."""
+    B, T = motion_mask.shape[:2]
+    Tp = -(-T // 8) * 8
+    pad = Tp - T
+    src = jnp.asarray(motion_mask).reshape(B, T, 1).astype(jnp.float32)
+    m_rows = jnp.pad(src, ((0, 0), (0, pad), (0, 0))).reshape(B * Tp, 1)
+    qm3 = jnp.stack(
+        [jnp.ones((B, T)) if query_masks is None
+         else query_masks[key].reshape(B, T) for key in COND_KEYS],
+        axis=-1)
+    qm_rows = jnp.pad(qm3, ((0, 0), (0, pad), (0, 0))).reshape(B * Tp, 3)
+    return m_rows, qm_rows
 
 
 def pack_layers(pd: Dict, dcfg: DenoiserConfig, enabled: bool = True):

@@ -58,7 +58,7 @@ def _head_block_mask(D: int, Dh: int) -> jnp.ndarray:
 def fused_self_attention(
     x: jnp.ndarray,          # (B, T, D)
     src_mask: jnp.ndarray,   # (B, T, 1)
-    scale: jnp.ndarray,      # (B, D)  adaLN scale (see adaln_scale_shift)
+    scale: jnp.ndarray,      # (B, D)  adaLN scale (fused_denoiser.adaln_table)
     shift: jnp.ndarray,      # (B, D)  adaLN shift
     params: dict,            # EfficientSelfAttention param subtree
     num_heads: int = 16,
@@ -95,9 +95,14 @@ def fused_self_attention(
         k = k + (1.0 - m) * NEG_MASK
 
         seg = _head_block_mask(D, Dh)
-        # feature softmax within head groups via the row-max trick
+        # feature softmax within head groups via the row-max trick.  The
+        # denominator clamp (here and in every kernel below) guards f32-exp
+        # underflow of a head segment sitting ~88+ below the global row max:
+        # the XLA twin's per-head softmax cannot 0/0 there, so the kernel
+        # must not NaN either — the dead segment just contributes ~0.
         qe = jnp.exp(q - jnp.max(q, axis=-1, keepdims=True))
-        q_sm = qe / jnp.dot(qe, seg, preferred_element_type=jnp.float32)
+        q_sm = qe / jnp.maximum(
+            jnp.dot(qe, seg, preferred_element_type=jnp.float32), 1e-30)
         # time softmax per column
         ke = jnp.exp(k - jnp.max(k, axis=0, keepdims=True))
         k_sm = ke / jnp.sum(ke, axis=0, keepdims=True)
@@ -152,16 +157,6 @@ def fused_self_attention(
         row(st["out_proj"]["bias"]),
     )
     return out[:, :T, :]
-
-
-def adaln_scale_shift(emb: jnp.ndarray, styl_params: dict):
-    """Precompute the stylization scale/shift from the time embedding
-    (stylization_block.py:30-36): Linear(silu(emb)) → chunk2."""
-    e = jax.nn.silu(emb)
-    out = e @ jnp.asarray(styl_params["emb_layer"]["kernel"]) + jnp.asarray(
-        styl_params["emb_layer"]["bias"])
-    scale, shift = jnp.split(out, 2, axis=-1)
-    return scale, shift
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
@@ -230,7 +225,8 @@ def fused_cross_attention(
 
         seg = _head_block_mask(D, Dh)
         qe = jnp.exp(q - jnp.max(q, axis=-1, keepdims=True))
-        q_sm = qe / jnp.dot(qe, seg, preferred_element_type=jnp.float32)
+        q_sm = qe / jnp.maximum(
+            jnp.dot(qe, seg, preferred_element_type=jnp.float32), 1e-30)
         ke = jnp.exp(k - jnp.max(k, axis=0, keepdims=True))
         k_sm = ke / jnp.sum(ke, axis=0, keepdims=True)
 
@@ -338,7 +334,8 @@ def fused_cross_attention_cached(
         q = jnp.dot(xn, wq[:], preferred_element_type=jnp.float32) + bq[:]
         seg = _head_block_mask(D, Dh)
         qe = jnp.exp(q - jnp.max(q, axis=-1, keepdims=True))
-        q_sm = qe / jnp.dot(qe, seg, preferred_element_type=jnp.float32)
+        q_sm = qe / jnp.maximum(
+            jnp.dot(qe, seg, preferred_element_type=jnp.float32), 1e-30)
         y = jnp.dot(q_sm, ctx_ref[0], preferred_element_type=jnp.float32)
         y = y + (1.0 - qm) * NEG_MASK
         ymu = jnp.mean(y, axis=-1, keepdims=True)
@@ -447,7 +444,8 @@ def fused_cross_block_cached(
             xn = xc * ln_s[:] + ln_b[:]
             q = jnp.dot(xn, wq[:], preferred_element_type=jnp.float32) + bq[:]
             qe = jnp.exp(q - jnp.max(q, axis=-1, keepdims=True))
-            q_sm = qe / jnp.dot(qe, seg, preferred_element_type=jnp.float32)
+            q_sm = qe / jnp.maximum(
+                jnp.dot(qe, seg, preferred_element_type=jnp.float32), 1e-30)
             y = jnp.dot(q_sm, ctx_ref[0, i],
                         preferred_element_type=jnp.float32)
             y = y + (1.0 - qm_ref[0, :, i:i + 1]) * NEG_MASK
@@ -660,7 +658,7 @@ def fused_decoder_layer(
         k = mm(xn, M(1)) + V(3) + (1.0 - m) * NEG_MASK
         v = (mm(xn, M(2)) + V(4)) * m
         qe = jnp.exp(q - jnp.max(q, axis=-1, keepdims=True))
-        q_sm = qe / mm(qe, seg.astype(cd))
+        q_sm = qe / jnp.maximum(mm(qe, seg.astype(cd)), 1e-30)
         # per-batch time softmax via per-SEGMENT column maxes and sums
         # (static row slices, f32 VPU).  A global max would be exact in
         # real arithmetic but underflows a segment to 0/0 NaN when its
@@ -688,7 +686,7 @@ def fused_decoder_layer(
             xn = hc * V(base) + V(base + 1)
             q = mm(xn, M(4 + 2 * i)) + V(base + 2)
             qe = jnp.exp(q - jnp.max(q, axis=-1, keepdims=True))
-            q_sm = qe / mm(qe, seg_ca.astype(cd))
+            q_sm = qe / jnp.maximum(mm(qe, seg_ca.astype(cd)), 1e-30)
             ys = []
             for b in range(bpb):
                 sl = slice(b * Tp, (b + 1) * Tp)

@@ -9,9 +9,18 @@ import numpy as np
 
 from raggesture_tpu.models.denoiser import EfficientSelfAttention
 from raggesture_tpu.ops.pallas.linear_attention_kernel import (
-    adaln_scale_shift,
     fused_self_attention,
 )
+
+
+def adaln_scale_shift(emb, styl_params):
+    """Test helper: one StylizationBlock's (scale, shift) from the time
+    embedding (stylization_block.py:30-36) — production code batches all 40
+    projections through fused_denoiser.adaln_table instead."""
+    e = jax.nn.silu(emb)
+    out = e @ jnp.asarray(styl_params["emb_layer"]["kernel"]) + jnp.asarray(
+        styl_params["emb_layer"]["bias"])
+    return jnp.split(out, 2, axis=-1)
 
 
 def test_fused_self_attention_matches_xla():
