@@ -134,13 +134,26 @@ def p_mean_variance(
 ) -> PMeanVar:
     """Compute p(x_{t-1} | x_t) stats from a raw model output.
 
-    Mirrors reference gaussian_diffusion.py:503-653, including the CFG split
-    (uncond/cond halves along batch, converted to eps-space before mixing)
-    used when ``classifier_free_guidance_scale > 0`` (shipped config: 0 — the
-    retrieval condition-mixing happens inside the denoiser instead).
+    Mirrors reference gaussian_diffusion.py:503-653, including the CFG
+    contract (``classifier_free_guidance_scale > 0``; shipped config: 0 —
+    the retrieval condition-mixing happens inside the denoiser instead):
+    ``x``/``t`` stay B-sized while ``model_output`` carries **2B rows,
+    uncond first** (the reference's ``do_clf_guidance`` model call,
+    :529-534; build one with conditioning.make_cfg_model_fn), and every
+    returned stat is B-sized.  Like the reference, CFG is only implemented
+    for START_X and EPSILON (:546, :588, :623 assert/raise on the rest).
     """
     nd = x.ndim
     B = x.shape[0]
+
+    if cfg_scale > 0 and (
+            var_type in (VarType.LEARNED, VarType.LEARNED_RANGE)
+            or mean_type in (MeanType.PREVIOUS_X, MeanType.V_PRED)):
+        # reference :546, :588, :623: CFG + learned variance / previous_x /
+        # v_pred is unsupported — fail loudly, never silently unguided
+        raise NotImplementedError(
+            f"classifier-free guidance is not supported for {var_type} / "
+            f"{mean_type} (reference gaussian_diffusion.py:546,588,623)")
 
     if var_type in (VarType.LEARNED, VarType.LEARNED_RANGE):
         # split model output into (prediction, variance values) along axis 1,
@@ -179,27 +192,27 @@ def p_mean_variance(
     if mean_type == MeanType.START_X:
         pred_xstart = process_xstart(model_output)
         if cfg_scale > 0:
+            # model_output is (2B, ...) [uncond; cond] for the B-sized x;
+            # mix in eps space (reference :595-609) — result is B-sized
             x0_uncond, x0_cond = jnp.split(pred_xstart, 2, axis=0)
-            half = x.shape[0] // 2
-            xh, th_ = x[:half], t[:half]
-            eps_u = predict_eps_from_xstart(sched, xh, th_, x0_uncond)
-            eps_c = predict_eps_from_xstart(sched, xh, th_, x0_cond)
-            eps_g = eps_u + cfg_scale * (eps_c - eps_u)
-            eps = jnp.concatenate([eps_g, eps_g], axis=0)
+            eps_u = predict_eps_from_xstart(sched, x, t, x0_uncond)
+            eps_c = predict_eps_from_xstart(sched, x, t, x0_cond)
+            eps = eps_u + cfg_scale * (eps_c - eps_u)
             pred_xstart = predict_xstart_from_eps(sched, x, t, eps)
         else:
             eps = predict_eps_from_xstart(sched, x, t, pred_xstart)
     elif mean_type == MeanType.EPSILON:
         if cfg_scale > 0:
             eps_u, eps_c = jnp.split(model_output, 2, axis=0)
-            eps_g = eps_u + cfg_scale * (eps_c - eps_u)
-            eps = jnp.concatenate([eps_g, eps_g], axis=0)
+            eps = eps_u + cfg_scale * (eps_c - eps_u)
         else:
             eps = model_output
         pred_xstart = process_xstart(predict_xstart_from_eps(sched, x, t, eps))
     elif mean_type == MeanType.V_PRED:
         eps = predict_eps_from_v(sched, x, t, model_output)
-        pred_xstart = process_xstart(predict_xstart_from_eps(sched, x, t, eps))
+        # the reference leaves the V_PRED x0 prediction UNPROCESSED
+        # (no denoised_fn/clip, :629-633) — match it exactly
+        pred_xstart = predict_xstart_from_eps(sched, x, t, eps)
     else:
         raise NotImplementedError(mean_type)
 

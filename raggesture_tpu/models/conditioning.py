@@ -137,6 +137,41 @@ def make_conditioned_model_fn(
     return model_fn
 
 
+def make_cfg_model_fn(
+    apply_fn: Callable,
+    conds: Dict[str, jnp.ndarray],
+    motion_mask: jnp.ndarray,
+    query_masks: Optional[Dict[str, jnp.ndarray]],
+) -> Callable:
+    """Classifier-free-guidance model_fn: B-sized x in, (2B, T, D)
+    **[uncond; cond]** out — the exact contract p_mean_variance's
+    ``cfg_scale > 0`` branch expects (the reference's ``do_clf_guidance``
+    model call, gaussian_diffusion.py:529-534,595-609).
+
+    NOTE the ordering: UNCOND first.  The scale-func mixing fns above use
+    cond-first internally (mix_outputs) — the two mechanisms are separate
+    (shipped config uses scale-func mixing with cfg_scale = 0)."""
+
+    conds2 = {k: jnp.concatenate([v, v], axis=0) for k, v in conds.items()}
+    mask2 = jnp.concatenate([motion_mask, motion_mask], axis=0)
+    qm2 = (
+        {k: jnp.concatenate([v, v], axis=0) for k, v in query_masks.items()}
+        if query_masks is not None
+        else None
+    )
+
+    def model_fn(x, t_orig, step_idx):
+        B = x.shape[0]
+        x2 = jnp.concatenate([x, x], axis=0)
+        t2 = jnp.concatenate([t_orig, t_orig], axis=0)
+        cond_mask = jnp.concatenate(
+            [jnp.zeros((B, 1, 1), x.dtype), jnp.ones((B, 1, 1), x.dtype)],
+            axis=0)
+        return apply_fn(x2, t2, mask2, conds2, qm2, cond_mask)
+
+    return model_fn
+
+
 def mix_outputs(out2: jnp.ndarray, B: int, coef_table: jnp.ndarray,
                 step_idx, joint_scale: jnp.ndarray) -> jnp.ndarray:
     """Combine the (2B, T, D) cond/uncond denoiser output with the scale-func

@@ -37,6 +37,7 @@ class CheckpointManager:
             enable_async_checkpointing=async_save,
         )
         self._mgr = ocp.CheckpointManager(self.dir, options=options)
+        self._saved_steps = set()  # saves THIS session (async-safe dedupe)
 
     # -- save ---------------------------------------------------------------
     def maybe_save(self, epoch: int, state: TrainState,
@@ -55,7 +56,23 @@ class CheckpointManager:
             state=ocp.args.StandardSave(state),
             meta=ocp.args.JsonSave(dict(meta or {}, epoch=epoch)),
         )
-        self._mgr.save(epoch, args=args)
+        saved = self._mgr.save(epoch, args=args)
+        if saved:
+            self._saved_steps.add(epoch)
+        elif epoch not in self._saved_steps and \
+                epoch != self._mgr.latest_step():
+            # (epoch == latest is the benign re-save of an already-complete
+            # run's final epoch — e.g. resuming a finished run)
+            # orbax should_save returns False when the target step is <= an
+            # already-recorded one — e.g. a FRESH (non-resumed) run in a
+            # workdir holding old checkpoints would silently persist NOTHING
+            # for the whole run (the runner's benign final re-save of an
+            # interval epoch is deduped via _saved_steps).  Fail loudly.
+            raise RuntimeError(
+                f"orbax refused to save epoch {epoch}: the checkpoint dir "
+                f"{self.dir} already holds step {self._mgr.latest_step()} "
+                "from an earlier run — resume from it (--resume-from) or "
+                "use a fresh work dir")
 
     def wait(self):
         self._mgr.wait_until_finished()
@@ -121,8 +138,6 @@ def load_codec_params(params, vae_cfg: dict, logger=None):
     ``params["params"]["codec"]["{part}_vae"]`` subtree.  Missing files are
     skipped with a warning (fresh init is kept).
     """
-    import jax
-
     codec = dict(params["params"]["codec"])
     loaded = []
     for part in ("upper", "hands", "face", "lowertrans"):
@@ -134,10 +149,11 @@ def load_codec_params(params, vae_cfg: dict, logger=None):
                 logger.warning("codec %s checkpoint %s not found — keeping "
                                "the fresh init", part, path)
             continue
-        blob = load_params(path, {"params": codec[f"{part}_vae"]})
-        sub = blob["params"] if "params" in blob else blob
-        # tools/train_vae.py saves {"params": vae_params}
-        codec[f"{part}_vae"] = jax.tree_util.tree_map(lambda x: x, sub)
+        # both producers (tools/train_vae.py, tools/convert_weights.py)
+        # save {"params": vae_params}; the abstract-tree restore enforces
+        # that structure, so no other layout can reach here
+        codec[f"{part}_vae"] = load_params(
+            path, {"params": codec[f"{part}_vae"]})["params"]
         loaded.append(part)
     if logger and loaded:
         logger.info("loaded pretrained codec parts: %s", loaded)

@@ -65,7 +65,10 @@ def param_labels(params) -> Any:
     return jax.tree_util.tree_map_with_path(label, params)
 
 
-def make_optimizer(cfg: OptimConfig, params) -> optax.GradientTransformation:
+def _make_tx(cfg: OptimConfig) -> optax.GradientTransformation:
+    """One optimizer chain from an OptimConfig: cosine schedule (mmcv
+    CosineAnnealing min_lr_ratio, by_epoch=False) + optional global-norm
+    clip + adam/adamw — shared by make_optimizer and build_optimizers."""
     schedule = optax.cosine_decay_schedule(
         init_value=cfg.lr, decay_steps=cfg.total_steps,
         alpha=cfg.min_lr_ratio,
@@ -77,9 +80,12 @@ def make_optimizer(cfg: OptimConfig, params) -> optax.GradientTransformation:
                              weight_decay=cfg.weight_decay)
                  if cfg.weight_decay > 0 else
                  optax.adam(schedule, b1=cfg.b1, b2=cfg.b2))
-    tx = optax.chain(*chain)
+    return optax.chain(*chain)
+
+
+def make_optimizer(cfg: OptimConfig, params) -> optax.GradientTransformation:
     return optax.multi_transform(
-        {"trainable": tx, "frozen": optax.set_to_zero()},
+        {"trainable": _make_tx(cfg), "frozen": optax.set_to_zero()},
         param_labels(params),
     )
 
@@ -244,16 +250,7 @@ def build_optimizers(cfg_map: Dict[str, "OptimConfig"], params
         "__frozen__": optax.set_to_zero()
     }
     for key, cfg in cfg_map.items():
-        schedule = optax.cosine_decay_schedule(cfg.lr, cfg.total_steps,
-                                               alpha=cfg.min_lr_ratio)
-        chain = []
-        if cfg.grad_clip is not None:
-            chain.append(optax.clip_by_global_norm(cfg.grad_clip))
-        chain.append(optax.adamw(schedule, b1=cfg.b1, b2=cfg.b2,
-                                 weight_decay=cfg.weight_decay)
-                     if cfg.weight_decay > 0
-                     else optax.adam(schedule, b1=cfg.b1, b2=cfg.b2))
-        transforms[key] = optax.chain(*chain)
+        transforms[key] = _make_tx(cfg)
     return optax.multi_transform(transforms, labels)
 
 

@@ -265,7 +265,12 @@ def train_model(
                     if vb_i >= val_max_batches:
                         break
                     vdb = shard_batch(dbatch(vbatch), mesh)
-                    val_logs.append(val_fn(state, vdb, rng))
+                    # decorrelate the (t, noise) draw per epoch AND per val
+                    # batch — one constant key would score every batch at
+                    # the identical timestep vector, a biased val loss
+                    vrng = jax.random.fold_in(
+                        jax.random.fold_in(rng, 7919 + epoch), vb_i)
+                    val_logs.append(val_fn(state, vdb, vrng))
                 if val_logs:
                     agg = {k: float(np.mean([float(l[k]) for l in val_logs]))
                            for k in val_logs[0]}

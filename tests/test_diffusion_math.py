@@ -102,19 +102,20 @@ def test_training_target_types():
 
 
 def test_cfg_mixing_start_x():
-    """cfg_scale > 0: uncond/cond halves mixed in eps space."""
+    """cfg_scale > 0: x stays B-sized, model_output carries 2B rows
+    [uncond; cond] (reference do_clf_guidance contract, :529-534,595-609),
+    mixed in eps space; scale 1.0 reduces to the pure cond prediction."""
     x0, noise, t = _xt(jax.random.PRNGKey(7), (2, 5, 4))
     xt = G.q_sample(SCHED, x0, t, noise)
-    x2 = jnp.concatenate([xt, xt], 0)
-    t2 = jnp.concatenate([t, t], 0)
     model_out = jnp.concatenate([x0 * 0.5, x0], 0)  # uncond, cond
     out = G.p_mean_variance(
-        SCHED, model_out, x2, t2, MeanType.START_X, VarType.FIXED_LARGE, cfg_scale=1.0
+        SCHED, model_out, xt, t, MeanType.START_X, VarType.FIXED_LARGE,
+        cfg_scale=1.0,
     )
-    # scale 1.0 -> pure cond prediction
     out_cond = G.p_mean_variance(SCHED, x0, xt, t, MeanType.START_X, VarType.FIXED_LARGE)
+    assert out.pred_xstart.shape == xt.shape
     np.testing.assert_allclose(
-        np.asarray(out.pred_xstart[:2]), np.asarray(out_cond.pred_xstart),
+        np.asarray(out.pred_xstart), np.asarray(out_cond.pred_xstart),
         rtol=1e-3, atol=1e-4,
     )
 
@@ -182,3 +183,66 @@ def test_guided_loop_exact_iters_equals_fast_path():
     # final step the splice writes q_sample(inv_0, t=0) ~ inv_0 before the
     # model call, so the model output on that row reflects it
     assert np.isfinite(np.asarray(fast)).all()
+
+
+def test_cfg_mixes_uncond_cond_in_eps_space():
+    """Reference do_clf_guidance contract (gaussian_diffusion.py:529-534,
+    595-620): x/t stay B-sized, model_output carries 2B rows [uncond; cond],
+    the guided eps is eps_u + s*(eps_c - eps_u), and every stat is B-sized.
+    Unsupported combos raise (reference :546,:588,:623)."""
+    sched = make_schedule("scaled_linear", 20)
+    rng = np.random.RandomState(3)
+    B, T, D = 3, 5, 4
+    x = jnp.asarray(rng.randn(B, T, D), jnp.float32)
+    t = jnp.asarray([2, 7, 19], jnp.int32)
+    x0_u = jnp.asarray(rng.randn(B, T, D), jnp.float32)
+    x0_c = jnp.asarray(rng.randn(B, T, D), jnp.float32)
+    s = 2.5
+
+    out = G.p_mean_variance(
+        sched, jnp.concatenate([x0_u, x0_c], axis=0), x, t,
+        mean_type=MeanType.START_X, cfg_scale=s)
+    eps_u = G.predict_eps_from_xstart(sched, x, t, x0_u)
+    eps_c = G.predict_eps_from_xstart(sched, x, t, x0_c)
+    eps_want = eps_u + s * (eps_c - eps_u)
+    assert out.eps.shape == (B, T, D)
+    np.testing.assert_allclose(np.asarray(out.eps), np.asarray(eps_want),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(out.pred_xstart),
+        np.asarray(G.predict_xstart_from_eps(sched, x, t, eps_want)),
+        rtol=1e-5, atol=1e-5)
+
+    # EPSILON parameterization mixes the raw outputs directly
+    out_e = G.p_mean_variance(
+        sched, jnp.concatenate([eps_u, eps_c], axis=0), x, t,
+        mean_type=MeanType.EPSILON, cfg_scale=s)
+    np.testing.assert_allclose(np.asarray(out_e.eps), np.asarray(eps_want),
+                               rtol=1e-5, atol=1e-5)
+
+    for bad in (dict(mean_type=MeanType.V_PRED),
+                dict(mean_type=MeanType.PREVIOUS_X),
+                dict(var_type=VarType.LEARNED_RANGE)):
+        with np.testing.assert_raises(NotImplementedError):
+            G.p_mean_variance(sched, jnp.concatenate([x0_u, x0_c], axis=0),
+                              x, t, cfg_scale=s, **bad)
+
+
+def test_cfg_model_fn_orders_uncond_first():
+    """make_cfg_model_fn must emit [uncond; cond] (zero then one cond_mask)
+    for a B-sized x — the p_mean_variance cfg contract."""
+    from raggesture_tpu.models.conditioning import make_cfg_model_fn
+
+    calls = {}
+
+    def apply_fn(x2, t2, mask2, conds2, qm2, cond_mask):
+        calls["cm"] = cond_mask
+        return x2
+
+    B, T, D = 2, 4, 3
+    fn = make_cfg_model_fn(apply_fn, {"xf": jnp.ones((B, 1, D))},
+                           jnp.ones((B, T)), None)
+    out = fn(jnp.ones((B, T, D)), jnp.zeros((B,), jnp.int32), 0)
+    assert out.shape == (2 * B, T, D)
+    cm = np.asarray(calls["cm"]).reshape(2 * B)
+    assert (cm[:B] == 0).all() and (cm[B:] == 1).all()

@@ -564,3 +564,28 @@ def test_device_batch_bf16_conditions():
     l16 = float(logs16["recon_loss"])
     assert np.isfinite(l16)
     np.testing.assert_allclose(l16, l32, rtol=5e-2)
+
+
+def test_checkpoint_save_refuses_stale_workdir(tmp_path):
+    """A fresh (non-resumed) run in a workdir holding old checkpoints must
+    fail loudly: orbax should_save silently refuses steps <= latest, which
+    previously persisted NOTHING for the whole run.  The runner's benign
+    final re-save of an interval epoch stays allowed."""
+    from raggesture_tpu.train.checkpoint import CheckpointManager
+    from raggesture_tpu.train.loop import TrainState
+
+    state = TrainState(params={"w": jnp.zeros((2,))},
+                       opt_state={"m": jnp.zeros((2,))},
+                       step=jnp.zeros((), jnp.int32))
+    wd = str(tmp_path)
+    m1 = CheckpointManager(wd, interval=1, async_save=False)
+    m1.save(3, state)
+    m1.save(3, state)  # same-session re-save (runner final save) is fine
+    m1.wait()
+
+    m2 = CheckpointManager(wd, interval=1, async_save=False)
+    with pytest.raises(RuntimeError, match="already holds step 3"):
+        m2.save(0, state)
+    m2.save(4, state)  # moving past the old run still works
+    m2.wait()
+    assert m2.latest_epoch() == 4
