@@ -36,7 +36,7 @@ import json
 import math
 import os
 import warnings
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -101,6 +101,36 @@ class FeatureExtractor:
         raise NotImplementedError
 
 
+def _tokens_per_whitespace_word(sentence: str, offsets) -> list:
+    """Token-index lists per WHITESPACE word.
+
+    The reference walks ``tokenizer.tokenize(word)`` per whitespace word so
+    punctuation word-pieces merge into their surrounding word
+    (beatx_dataset.py:1126-1160 — 'why not punctuation? because they have
+    seperate token ids in the encoded.word_ids').  Fast tokenizers
+    pre-tokenize on punctuation too, so ``word_ids()`` indexes
+    punctuation-split pre-tokens and misaligns every word after an attached
+    comma/period; grouping by CHAR OFFSETS instead assigns each non-special
+    token to the whitespace word whose span contains its first character —
+    the reference's grouping exactly."""
+    words = sentence.split()
+    spans = []
+    pos = 0
+    for w in words:
+        s = sentence.index(w, pos)
+        spans.append((s, s + len(w)))
+        pos = s + len(w)
+    groups = [[] for _ in words]
+    for i, (s, e) in enumerate(offsets):
+        if e <= s:  # special tokens ([CLS]/[SEP]/padding)
+            continue
+        for wi, (ws, we) in enumerate(spans):
+            if ws <= s < we:
+                groups[wi].append(i)
+                break
+    return groups
+
+
 class HFFeatureExtractor(FeatureExtractor):
     """HuggingFace wav2vec2-base-960h + bert-base-cased (last-4-layer sum,
     word vectors averaged over word-piece tokens — beatx_dataset.py:1115-1179).
@@ -127,18 +157,17 @@ class HFFeatureExtractor(FeatureExtractor):
         return out.last_hidden_state.squeeze(0).cpu().numpy()
 
     def word_embeddings(self, sentence):
-        tok = self.tokenizer(sentence, return_tensors="pt")
+        tok = self.tokenizer(sentence, return_tensors="pt",
+                             return_offsets_mapping=True)
+        offsets = tok.pop("offset_mapping")[0].tolist()
         if tok["input_ids"].shape[1] > self.bert.config.max_position_embeddings:
             return None, None
         with self.torch.no_grad():
             out = self.bert(**{k: v.to(self.device) for k, v in tok.items()})
         # sum of the last 4 hidden layers (reference layers=[-4,-3,-2,-1])
         states = self.torch.stack(out.hidden_states[-4:]).sum(0).squeeze(0)
-        word_ids = tok.word_ids()
         vecs = []
-        n_words = len(sentence.split())
-        for w in range(n_words):
-            idxs = [i for i, wid in enumerate(word_ids) if wid == w]
+        for idxs in _tokens_per_whitespace_word(sentence, offsets):
             if idxs:
                 vecs.append(states[idxs].mean(0).cpu().numpy())
             else:
@@ -208,7 +237,9 @@ class FlaxHFFeatureExtractor(FeatureExtractor):
     def word_embeddings(self, sentence):
         import jax.numpy as jnp
 
-        tok = self.tokenizer(sentence, return_tensors="np")
+        tok = self.tokenizer(sentence, return_tensors="np",
+                             return_offsets_mapping=True)
+        offsets = np.asarray(tok["offset_mapping"][0]).tolist()
         if tok["input_ids"].shape[1] > self.bert.config.max_position_embeddings:
             return None, None
         n_tok = tok["input_ids"].shape[1]
@@ -219,10 +250,8 @@ class FlaxHFFeatureExtractor(FeatureExtractor):
         am[0, :n_tok] = tok["attention_mask"][0]
         hidden = self._bert_call(jnp.asarray(ids), jnp.asarray(am))
         states = np.asarray(sum(hidden[-4:]))[0][:n_tok]  # last-4 sum
-        word_ids = tok.word_ids()
         vecs = []
-        for w in range(len(sentence.split())):
-            idxs = [i for i, wid in enumerate(word_ids) if wid == w]
+        for idxs in _tokens_per_whitespace_word(sentence, offsets):
             vecs.append(states[idxs].mean(0) if idxs
                         else np.zeros(states.shape[-1], np.float32))
         return vecs, states
@@ -256,7 +285,10 @@ class MelFeatureExtractor(FeatureExtractor):
             pad = n_fft // 2
             if len(wave) < 2:  # degenerate tail windows
                 return np.zeros((1, self.num_mels), np.float32)
-            y = np.pad(wave, (pad, min(pad, len(wave) - 1)), mode="reflect")
+            # reflect-pad width is capped at len(wave)-1 on BOTH sides — a
+            # sub-n_fft tail window would otherwise raise in np.pad
+            y = np.pad(wave, (min(pad, len(wave) - 1),
+                              min(pad, len(wave) - 1)), mode="reflect")
             if len(y) < n_fft:
                 y = np.pad(y, (0, n_fft - len(y)))
             n_frames = 1 + (len(y) - n_fft) // hop
@@ -305,10 +337,16 @@ class StubFeatureExtractor(FeatureExtractor):
         return r.randn(n_frames, self.audio_dim).astype(np.float32)
 
     def word_embeddings(self, sentence):
+        import zlib
+
         words = sentence.split()
         vecs = []
         for w in words:
-            r = np.random.RandomState((hash(w) + self.seed) % (2**31))
+            # stable digest, NOT builtin hash(): str hashing is randomized
+            # per process (PYTHONHASHSEED), which would make the "same"
+            # stub cache differ between the build and a later serving run
+            r = np.random.RandomState(
+                (zlib.crc32(w.encode()) + self.seed) % (2**31))
             vecs.append(r.randn(self.text_dim).astype(np.float32))
         feats = np.stack(vecs) if vecs else np.zeros((1, self.text_dim), np.float32)
         return vecs, feats
@@ -349,7 +387,7 @@ class BeatXConfig:
 
 
 def window_starts(n_pose_frames: int, cfg: BeatXConfig, is_test: bool
-                  ) -> List[int]:
+                  ) -> Tuple[List[int], int]:
     """Window subdivision (beatx_dataset.py:743-771): train stride 5, test
     windowed stride = length, test full = single full-clip window."""
     fps = cfg.pose_fps
@@ -364,6 +402,11 @@ def window_starts(n_pose_frames: int, cfg: BeatXConfig, is_test: bool
     else:
         cut = cfg.pose_length
         stride = cfg.stride
+    if clip_e - clip_s <= 0 or cut <= 0 or stride <= 0:
+        # degenerate clip (shorter than a second, or clean_final_seconds
+        # consumed it): no windows — the caller skips the clip instead of
+        # a ZeroDivisionError aborting the whole cache build
+        return [], max(cut, 0)
     n = math.floor((clip_e - clip_s - cut) / stride) + 1
     return [clip_s + i * stride for i in range(max(n, 0))], cut
 
@@ -540,6 +583,7 @@ class ShardCache:
         self.path = path
         os.makedirs(path, exist_ok=True)
         self._index_path = os.path.join(path, "name_to_idx.json")
+        self._complete_path = os.path.join(path, "COMPLETE")
         self.name_to_idx: Dict[str, int] = {}
         if os.path.exists(self._index_path):
             with open(self._index_path) as f:
@@ -547,6 +591,18 @@ class ShardCache:
 
     def __len__(self):
         return len(self.name_to_idx)
+
+    @property
+    def is_complete(self) -> bool:
+        """True once build_cache finished every clip.  The index flushes
+        after every clip (crash safety), so WITHOUT this marker a build
+        interrupted at clip 50/1945 would be indistinguishable from — and
+        silently served as — a complete cache."""
+        return os.path.exists(self._complete_path)
+
+    def mark_complete(self):
+        with open(self._complete_path, "w") as f:
+            f.write("1")
 
     def _base(self, idx: int, write: bool = False) -> str:
         grouped = os.path.join(self.path, f"g{idx // self.GROUP:04d}",
@@ -560,7 +616,10 @@ class ShardCache:
 
     def write(self, records: List[Dict]):
         for rec in records:
-            idx = len(self.name_to_idx)
+            # a re-written sample_name reuses its idx (overwrite in place) —
+            # appending would collide two names onto one later idx
+            idx = self.name_to_idx.get(rec["sample_name"],
+                                       len(self.name_to_idx))
             base = self._base(idx, write=True)
             arrays = {k: np.asarray(rec[k]) for k in _ARRAY_FIELDS if k in rec}
             np.savez_compressed(base + ".npz", **arrays)

@@ -183,7 +183,8 @@ def cache_dir_for(cfg: BeatXConfig) -> str:
 def cache_exists(cfg: BeatXConfig) -> bool:
     """True when a usable window cache is already on disk (so callers can
     skip constructing featurizers entirely)."""
-    return not cfg.new_cache and len(ShardCache(cache_dir_for(cfg))) > 0
+    cache = ShardCache(cache_dir_for(cfg))
+    return not cfg.new_cache and len(cache) > 0 and cache.is_complete
 
 
 def make_default_extractor() -> Optional[FeatureExtractor]:
@@ -213,11 +214,17 @@ def build_cache(cfg: BeatXConfig, extractor: Optional[FeatureExtractor] = None,
     returns the existing cache unless cfg.new_cache)."""
     logger = get_root_logger()
     cache = ShardCache(cache_dir_for(cfg))
-    if len(cache) and not cfg.new_cache:
+    if len(cache) and cache.is_complete and not cfg.new_cache:
         logger.info("using existing cache %s (%d windows)", cache.path,
                     len(cache))
         return cache
-    if cfg.new_cache and len(cache):
+    if len(cache):
+        # new_cache requested, or a PARTIAL cache from an interrupted build
+        # (no COMPLETE marker) — serving it would silently train on a
+        # fraction of the data, so rebuild from scratch
+        if not cache.is_complete:
+            logger.warning("cache %s is incomplete (interrupted build?) — "
+                           "rebuilding", cache.path)
         import shutil
 
         shutil.rmtree(cache.path)
@@ -266,6 +273,7 @@ def build_cache(cfg: BeatXConfig, extractor: Optional[FeatureExtractor] = None,
         cache.write(records)
         logger.info("[%d/%d] %s -> %d windows (total %d)", i + 1, len(files),
                     fid, len(records), len(cache))
+    cache.mark_complete()
     return cache
 
 

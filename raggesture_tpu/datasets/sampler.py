@@ -52,7 +52,11 @@ class EpochSampler:
         else:
             idx = np.arange(self.num_samples)
         if self.round_up and self.total > self.num_samples:
-            idx = np.concatenate([idx, idx[: self.total - self.num_samples]])
+            # tile (not a single slice) so even num_shards >> num_samples
+            # fills every shard to per_shard — a short shard would deadlock
+            # collective-compiled train steps on the other hosts
+            reps = int(math.ceil(self.total / self.num_samples))
+            idx = np.tile(idx, reps)[: self.total]
         return idx[self.shard::self.num_shards]
 
     def __iter__(self) -> Iterator[int]:
@@ -131,10 +135,12 @@ class PrefetchLoader:
     numpy/file IO which releases the GIL."""
 
     def __init__(self, loader: DataLoader, num_workers: int = 4,
-                 depth: int = 2):
+                 depth: Optional[int] = None):
         self.loader = loader
         self.num_workers = max(1, num_workers)
-        self.depth = max(1, depth)
+        # in-flight batches cap: at least num_workers, or the pool threads
+        # beyond `depth` would sit permanently idle
+        self.depth = max(1, depth if depth is not None else self.num_workers)
 
     def set_epoch(self, epoch: int):
         self.loader.set_epoch(epoch)

@@ -30,6 +30,7 @@ from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
+from ..utils.logger import get_root_logger
 from .discourse import discourse_retrieval
 from .gesture_type import gesture_type_retrieval
 from .llm import llm_retrieval
@@ -292,6 +293,14 @@ class RetrievalDatabase:
             # (raggesture.py:426-430 + empty rag/prosodic_prominence.py)
             raise NotImplementedError("prosody retrieval is not implemented")
         assert method in METHODS
+        if text_features is not None and len(np.shape(text_features)):
+            # the tie-break similarity contract is cosine: corpus token
+            # features are L2-normalized at cache build (RetrievalCorpus,
+            # :88) — the query must be too, or per-token magnitudes skew
+            # the mean dot and tier ordering diverges from the reference
+            tf = np.asarray(text_features, np.float32)
+            text_features = tf / np.maximum(
+                np.linalg.norm(tf, axis=-1, keepdims=True), 1e-8)
         if training and idx in self.train_indexes and idx is not None:
             per_idx = self.train_indexes[idx]
             if not per_idx:
@@ -309,13 +318,20 @@ class RetrievalDatabase:
 
         if (not training) and idx in self.test_indexes and idx is not None:
             per_idx = self.test_indexes[idx]
-            if method not in per_idx:
-                return {}, {}, {}
-            data = {
-                q: [s for s in smp_idxs if s != idx][: self.cfg.num_retrieval]
-                for q, smp_idxs in per_idx[method].items()
-            }
-            return data, self.test_dbounds[idx][method], self.test_qbounds[idx][method]
+            if method in per_idx:
+                data = {
+                    q: [s for s in smp_idxs if s != idx][: self.cfg.num_retrieval]
+                    for q, smp_idxs in per_idx[method].items()
+                }
+                return (data, self.test_dbounds[idx][method],
+                        self.test_qbounds[idx][method])
+            # the memo (possibly loaded from a previous run's save_memo) was
+            # built with a DIFFERENT method — fall through to the cold
+            # scorer instead of silently returning zero exemplars for every
+            # sample (the reference warns here, raggesture.py:368-372)
+            get_root_logger().warning(
+                "retrieval memo for idx %s has no %r entry (methods: %s) — "
+                "running the cold scorer", idx, method, sorted(per_idx))
 
         # cold path: run the scorer
         c = self.corpus
@@ -429,17 +445,23 @@ class RetrievalDatabase:
                 exemplar_names.append(smp_name)
 
         # phase 2: ONE batched encode of all exemplars (reference loops them
-        # one-by-one on GPU, raggesture.py:556-582)
+        # one-by-one on GPU, raggesture.py:556-582).  Exemplars are fetched
+        # and encoded once per UNIQUE name (with num_retrieval=1 several
+        # queries routinely retrieve the same window), then expanded back to
+        # per-plan rows — the splice/inversion row contract stays (Q, ...)
         Q = len(plans)
         lat_np = np.zeros((max(Q, 1), T, cfg.latent_dim), np.float32)
         inv_mask = np.zeros((max(Q, 1), T), np.float32)
         inv_word, inv_audio, inv_spk = [], [], []
-        samples = [self.dataset[name] for name in exemplar_names]
+        uniq_names = list(dict.fromkeys(exemplar_names))
+        fetched = {n: self.dataset[n] for n in uniq_names}
+        samples = [fetched[n] for n in exemplar_names]
         if Q > 0:
             import jax.numpy as jnp
 
+            usamples = [fetched[n] for n in uniq_names]
             stack = lambda key: jnp.asarray(
-                np.stack([np.asarray(s[key], np.float32) for s in samples])
+                np.stack([np.asarray(s[key], np.float32) for s in usamples])
             )
             enc_batch = {
                 "motion_upper": stack("motion_upper"),
@@ -452,8 +474,10 @@ class RetrievalDatabase:
                 "motion_mask": stack("motion_mask"),
             }
             lat, mask = encode_fn(enc_batch)
-            lat_np = np.asarray(lat)
-            inv_mask = np.asarray(mask)
+            row = {n: i for i, n in enumerate(uniq_names)}
+            sel = [row[n] for n in exemplar_names]
+            lat_np = np.asarray(lat)[sel]
+            inv_mask = np.asarray(mask)[sel]
             for s in samples:
                 inv_word.append(np.asarray(s["word"], np.float32))
                 inv_audio.append(np.asarray(s["audio"], np.float32))

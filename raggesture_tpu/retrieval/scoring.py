@@ -93,7 +93,11 @@ def text_similarity_scores(
 
     The reference takes torch.mm(query, cand.T).diagonal().mean() — the
     diagonal of a possibly non-square product, i.e. per-position dot over the
-    first min(Nq, Ni) tokens."""
+    first min(Nq, Ni) tokens — on RAW features (its normalization is
+    commented out, rag/utils.py:103-117).  Here BOTH sides are
+    L2-normalized per token (corpus at cache build, query in
+    RetrievalDatabase.retrieve): a deliberate deviation making the
+    tie-break a true cosine instead of a magnitude-weighted dot."""
     out = np.empty((len(candidate_feats),), np.float32)
     q = np.asarray(query_feats, np.float32)
     for i, c in enumerate(candidate_feats):

@@ -14,7 +14,8 @@ torch = pytest.importorskip("torch")
 transformers = pytest.importorskip("transformers")
 
 VOCAB = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
-         "hello", "world", "aga", "##in", "and", "big", "##ger", "words"]
+         "hello", "world", "aga", "##in", "and", "big", "##ger", "words",
+         ",", "."]
 
 
 @pytest.fixture(scope="module")
@@ -145,3 +146,33 @@ def test_audio_features_torch_flax_equal(extractors):
     # unpadded sample count) and matching values
     assert ta.shape == fa.shape
     np.testing.assert_allclose(ta, fa, atol=2e-3)
+
+
+def test_word_embeddings_punctuation_merges_into_word(extractors):
+    """Attached punctuation must merge into its whitespace word's vector and
+    not shift later words (reference beatx_dataset.py:1126-1160 walks
+    tokenizer.tokenize(word) per whitespace word; fast-tokenizer word_ids()
+    index punctuation-split pre-tokens and used to shift everything after a
+    comma by one)."""
+    from raggesture_tpu.datasets.beatx import _tokens_per_whitespace_word
+
+    th, fx = extractors
+    sentence = "hello, world again."
+    tok = th.tokenizer(sentence, return_offsets_mapping=True)
+    groups = _tokens_per_whitespace_word(sentence, tok["offset_mapping"])
+    toks = tok.tokens()
+    assert len(groups) == 3
+    assert [toks[i] for i in groups[0]] == ["hello", ","]
+    assert [toks[i] for i in groups[1]] == ["world"]
+    assert [toks[i] for i in groups[2]] == ["aga", "##in", "."]
+
+    vecs, states = th.word_embeddings(sentence)
+    assert len(vecs) == 3
+    np.testing.assert_allclose(vecs[1], states[groups[1]].mean(0),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(vecs[2], states[groups[2]].mean(0),
+                               rtol=1e-5, atol=1e-6)
+
+    fvecs, _ = fx.word_embeddings(sentence)
+    for a, b in zip(vecs, fvecs):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)

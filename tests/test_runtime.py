@@ -589,3 +589,18 @@ def test_checkpoint_save_refuses_stale_workdir(tmp_path):
     m2.save(4, state)  # moving past the old run still works
     m2.wait()
     assert m2.latest_epoch() == 4
+
+
+def test_epoch_sampler_many_shards_tiny_dataset():
+    """num_shards >> num_samples: every shard still gets per_shard indices
+    (the single-slice round-up used to leave trailing shards EMPTY — a
+    host-count mismatch that deadlocks collective train steps)."""
+    from raggesture_tpu.datasets.sampler import EpochSampler
+
+    for n, shards in ((3, 8), (1, 4), (5, 16)):
+        per = [EpochSampler(n, num_shards=shards, shard=r, seed=1)
+               for r in range(shards)]
+        lens = [len(s.indices()) for s in per]
+        assert lens == [per[0].per_shard] * shards, (n, shards, lens)
+        for s in per:
+            assert all(0 <= i < n for i in s.indices())
