@@ -34,10 +34,25 @@ class EvalConfig:
     pose_fps: int = 30
     align_sigma: float = 0.3
     align_order: int = 7
+    # frames trimmed from each end of motion/audio for beat alignment
+    # (reference align_mask = 10, evaluate.py:134)
+    align_mask: int = 10
+    # per-joint dataset mean-velocity vector (reference --avg_vel_path,
+    # loaded into metric.alignment's mmae normalizer); None = raw speeds
+    # with a warning (scores then NOT comparable to the reference's)
+    avg_vel_path: Optional[str] = None
     srgr_threshold: float = 0.3
     compute_fgd: bool = True
     compute_mpjpe: bool = True
     compute_srgr: bool = False
+
+
+# reference tools/evaluate.py:106-108
+HAND_JOINTS = list(range(25, 55))
+UPPER_BODY_JOINTS = [3, 6, 9, 12, 13, 14, 15, 16, 17, 18, 19, 20, 21]
+NOT_UPPERHAND_JOINTS = [i for i in range(55)
+                        if i not in UPPER_BODY_JOINTS
+                        and i not in HAND_JOINTS]
 
 
 def find_result_dirs(root: str) -> List[str]:
@@ -89,12 +104,24 @@ class Evaluator:
         self.l1div_pred = M.L1div()
         self.l1div_gt = M.L1div()
         self.mpjpe = M.MPJPE()
+        avg_vel = None
+        if cfg.avg_vel_path:
+            avg_vel = np.load(cfg.avg_vel_path).reshape(-1)
+        elif fk_fn is not None:
+            self.logger.warning(
+                "no avg_vel_path: beat-align velocities are NOT normalized "
+                "by the dataset mean-velocity vector (reference "
+                "evaluate.py:127-133) — align scores will not be comparable")
         self.align = M.BeatAlignment(sigma=cfg.align_sigma,
-                                     order=cfg.align_order)
+                                     order=cfg.align_order,
+                                     mean_velocity=avg_vel)
         self.srgr = M.SRGR(threshold=cfg.srgr_threshold)
         self.fgd_pred: List[np.ndarray] = []
         self.fgd_gt: List[np.ndarray] = []
-        self.align_scores: List[float] = []
+        # reference accumulation (evaluate.py:407-410, 431-464):
+        # align += clip_align * (n - 2*align_mask); total_length += n
+        self.align_sum = 0.0
+        self.align_frames = 0
         # frame-weighted accumulators (reference evaluate.py:366-367,428:
         # l2_all += l2*n; lvel += lvd*n; divided by total_length at the end)
         self.face_l2_sum = 0.0
@@ -102,6 +129,18 @@ class Evaluator:
         self.face_frames = 0
         self.face_space = "vertex" if face_fk_fn is not None else "expression"
         self.joints_per_clip: List[np.ndarray] = []
+
+    def _fk_joints(self, pose: np.ndarray, betas: np.ndarray) -> np.ndarray:
+        """(T, 55, 3) joints with transl/expressions zeroed and GT betas
+        (reference evaluate.py:286-300).  Older 3-arg fk_fn callables
+        (tests) are supported without the betas argument."""
+        T = len(pose)
+        z3 = np.zeros((T, 3), np.float32)
+        z100 = np.zeros((T, 100), np.float32)
+        try:
+            return np.asarray(self.fk_fn(pose, z3, z100, betas))
+        except TypeError:
+            return np.asarray(self.fk_fn(pose, z3, z100))
 
     # -- per-clip ------------------------------------------------------------
     def add_result_dir(self, rdir: str):
@@ -126,24 +165,33 @@ class Evaluator:
                     self.fgd_embed_fn(g6[None])).reshape(-1, 240))
 
         if self.fk_fn is not None:
-            pj = np.asarray(self.fk_fn(pred_pose, pred_trans[:T],
-                                       pred_exps[:T]))
-            gj = np.asarray(self.fk_fn(gt_pose, gt_trans[:T], gt_exps[:T]))
+            # kinematic joints: the reference FKs with transl and
+            # expressions ZEROED and the GT betas (evaluate.py:286-300
+            # ``transl=rec_trans-rec_trans, expression=tar_exps-tar_exps,
+            # betas=tar_beta``) — root trajectory must not enter
+            # L1div/diversity/align/MPJPE
+            pj = self._fk_joints(pred_pose, gt_betas)
+            gj = self._fk_joints(gt_pose, gt_betas)
             self.l1div_pred.run(pj.reshape(T, -1))
             self.l1div_gt.run(gj.reshape(T, -1))
             self.joints_per_clip.append(pj.reshape(T, -1))
 
-            # retrieval-adherence MPJPE on inserted frames (:378-389)
+            # retrieval-adherence MPJPE (:240-256, :378-389): first-frame
+            # root-normalized joints; mask = frames where the retrieval
+            # pose is active AND the joint is upper-body/hand
             retr_path = os.path.join(rdir, "retrieval_0.npz")
             if self.cfg.compute_mpjpe and os.path.exists(retr_path):
                 r_pose, r_trans, r_exps, _ = _load_pose(retr_path, n)
                 Tr = min(T, len(r_pose))
-                active = np.abs(r_pose[:Tr]).sum(-1) > 0
-                if active.any():
-                    rj = np.asarray(self.fk_fn(r_pose[:Tr], r_trans[:Tr],
-                                               r_exps[:Tr]))
-                    self.mpjpe.compute_error(
-                        pj[:Tr][active], rj[active])
+                if Tr > 0:
+                    rj = self._fk_joints(r_pose[:Tr], gt_betas)
+                    m3 = np.ones((Tr, 55, 3), np.float32)
+                    m3[r_pose[:Tr].reshape(Tr, 55, 3) == 0] = 0
+                    m3[:, NOT_UPPERHAND_JOINTS] = 0
+                    mask = (m3.sum(-1) > 0).astype(np.float32)  # (Tr, 55)
+                    pj_rn = pj[:Tr] - pj[:1, :1]
+                    rj_rn = rj - rj[:1, :1]
+                    self.mpjpe.compute_error(pj_rn, rj_rn, mask)
 
             # SRGR on semantic-scored frames (:413-426) — needs the
             # sem_score.npy sidecar written by tools/visualize.py
@@ -153,20 +201,32 @@ class Evaluator:
                 if sem.shape[0] == T:
                     self.srgr.run(pj, gj, sem)
 
-            # beat alignment (:396-410)
+            # beat alignment (:396-410): audio truncated to the motion
+            # length and trimmed by align_mask*(sr/fps) on both ends; pose
+            # beats from frames [align_mask, T-align_mask); per-clip score
+            # weighted by (T - 2*align_mask), denominator total frames
             wav = os.path.join(rdir, "gt_audio.wav")
-            if os.path.exists(wav):
+            am = self.cfg.align_mask
+            if os.path.exists(wav) and T > 2 * am:
                 from scipy.io import wavfile
 
                 sr, wave = wavfile.read(wav)
                 if wave.dtype == np.int16:
                     wave = wave.astype(np.float32) / 32768.0
-                onsets = self.align.audio_beats(wave, sr)
+                if wave.ndim == 2:  # stereo -> mono (librosa.load downmixes)
+                    wave = wave.mean(axis=1)
+                fps = self.cfg.pose_fps
+                wave = wave[: int(sr / fps * T)]
+                a_off = int(am * (sr / fps))
+                onsets = self.align.audio_beats(
+                    wave[a_off: max(len(wave) - a_off, a_off)], sr)
+                # motion_beats expects 2D (T, J*3) joints
                 beats = self.align.motion_beats(
-                    pj.reshape(T, 55, 3), self.cfg.pose_fps)
+                    pj.reshape(T, -1), fps, t_start=am, t_end=T - am)
                 if len(onsets) and len(beats):
-                    self.align_scores.append(
-                        self.align.calculate_align(onsets, beats))
+                    score = self.align.calculate_align(onsets, beats, fps)
+                    self.align_sum += score * (T - 2 * am)
+                    self.align_frames += T
 
         # face metrics (reference evaluate.py:329-367): FK the
         # jaw+expression-only body to full vertices, MSE + the velocity L1
@@ -199,8 +259,9 @@ class Evaluator:
         if self.fgd_pred and self.fgd_gt:
             out["fgd"] = M.frechet_distance(
                 np.concatenate(self.fgd_pred), np.concatenate(self.fgd_gt))
-        if self.align_scores:
-            out["align"] = float(np.mean(self.align_scores))
+        if self.align_frames:
+            # reference: sum(per-clip align * (n-2*align_mask)) / total n
+            out["align"] = self.align_sum / self.align_frames
         if self.l1div_pred.counter:
             out["l1div"] = self.l1div_pred.avg()
             out["l1div_gt"] = self.l1div_gt.avg()

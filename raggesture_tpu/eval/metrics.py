@@ -74,7 +74,12 @@ def onset_strength(y: np.ndarray, sr: int = 16000, hop_length: int = 512,
     logmel = 10.0 * np.log10(np.maximum(mel, 1e-10))
     logmel = np.maximum(logmel, logmel.max() - 80.0)
     flux = np.maximum(0.0, logmel[:, 1:] - logmel[:, :-1]).mean(axis=0)
-    return np.concatenate([[0.0], flux])
+    # librosa pads the envelope start by lag + n_fft // (2*hop) frames
+    # (compensating the centered STFT), then trims to the frame count —
+    # 3 frames at the defaults, not 1 (a 2-frame onset-time bias otherwise)
+    pad_width = 1 + n_fft // (2 * hop_length)
+    env = np.concatenate([np.zeros(pad_width, flux.dtype), flux])
+    return env[:n_frames]
 
 
 def detect_onsets(y: np.ndarray, sr: int = 16000, hop_length: int = 512
@@ -84,6 +89,11 @@ def detect_onsets(y: np.ndarray, sr: int = 16000, hop_length: int = 512
     env = onset_strength(y, sr, hop_length)
     if env.size == 0 or env.max() <= 0:
         return np.zeros((0,))
+    # librosa onset_detect(normalize=True) rescales the envelope to [0, 1]
+    # before peak picking, so delta=0.07 is 7%-of-max — on the raw dB-flux
+    # scale the threshold would be far looser and onsets far denser
+    env = env - env.min()
+    env = env / max(env.max(), 1e-10)
     # librosa default peak_pick params (scaled for sr/hop):
     pre_max = int(np.ceil(0.03 * sr / hop_length))
     post_max = int(np.ceil(0.0 * sr / hop_length)) + 1

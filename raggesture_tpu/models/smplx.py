@@ -259,6 +259,9 @@ def foot_contacts(model: SmplxModel, betas, pose_aa, transl,
     pose_aa: (T, J*3), transl: (T, 3). Returns (T, len(foot_joint_ids))."""
     joints, _ = lbs(model, betas, pose_aa, transl=transl, return_verts=False)
     fj = joints[:, jnp.asarray(foot_joint_ids)]  # (T, 4, 3)
+    # reference semantics (beatx_dataset.py:418-421): vel[t] = ||j[t+1]-j[t]||
+    # with vel[T-1] = 0, so the LAST frame is always a contact — matching
+    # the featurize_clip cache path exactly
     vel = jnp.linalg.norm(fj[1:] - fj[:-1], axis=-1)  # (T-1, 4)
-    vel = jnp.concatenate([vel[:1], vel], axis=0)
+    vel = jnp.concatenate([vel, jnp.zeros_like(vel[:1])], axis=0)
     return (vel < threshold).astype(jnp.float32)

@@ -97,9 +97,12 @@ def test_evaluator_full(result_root):
     ev = Evaluator(cfg, fgd_embed_fn=_fgd_fn(), fk_fn=_fk_fn())
     s = ev.evaluate(result_root)
     for key in ("fgd", "l1div", "l1div_gt", "diversity", "mpjpe_retrieval",
-                "face_l2"):
+                "face_l2", "align"):
         assert key in s, f"missing {key}: {sorted(s)}"
     assert s["fgd"] >= 0 and s["l1div"] > 0 and s["diversity"] > 0
+    # align is a GAHR mean in [0, 1] (motion_beats consumes 2D (T, J*3)
+    # joints — 3D input silently computed joint-axis 'velocities')
+    assert 0.0 <= s["align"] <= 1.0
     # identical pred/gt would give fgd ~0; random differ
     assert np.isfinite(list(s.values())).all()
 

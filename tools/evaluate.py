@@ -31,6 +31,11 @@ def parse_args():
                    default="datasets/assets_deps/smplx_models/smplx/"
                            "SMPLX_NEUTRAL_2020.npz")
     p.add_argument("--no-fgd", action="store_true")
+    p.add_argument("--avg-vel", default=None,
+                   help="per-joint dataset mean-velocity .npy for beat-align "
+                        "normalization (reference --avg_vel_path)")
+    p.add_argument("--align-mask", type=int, default=10,
+                   help="frames trimmed from each end for beat alignment")
     p.add_argument("--srgr", action="store_true")
     p.add_argument("--out", default=None, help="metrics.json path")
     return p.parse_args()
@@ -45,10 +50,16 @@ def build_fk_fn(smplx_path: str, model=None):
     model = model or load_smplx(smplx_path)
 
     @jax.jit
-    def fk(pose_aa, trans, exps):
+    def fk(pose_aa, trans, exps, betas=None):
         n = pose_aa.shape[0]
-        betas = jnp.zeros((n, model.shapedirs.shape[-1]))
-        joints, _ = lbs(model, betas, pose_aa,
+        if betas is None:
+            b = jnp.zeros((n, model.shapedirs.shape[-1]))
+        else:
+            # GT betas (the reference FKs with tar_beta, evaluate.py:286)
+            b = jnp.broadcast_to(
+                jnp.asarray(betas)[: model.shapedirs.shape[-1]],
+                (n, model.shapedirs.shape[-1]))
+        joints, _ = lbs(model, b, pose_aa,
                         expression=exps[:, : model.exprdirs.shape[-1]],
                         transl=trans, return_verts=False)
         return joints
@@ -127,7 +138,8 @@ def main():
                        args.fgd_weights)
 
     cfg = EvalConfig(eval_n=args.eval_n, compute_fgd=fgd_fn is not None,
-                     compute_srgr=args.srgr)
+                     compute_srgr=args.srgr, avg_vel_path=args.avg_vel,
+                     align_mask=args.align_mask)
     ev = Evaluator(cfg, fgd_embed_fn=fgd_fn, fk_fn=fk_fn,
                    face_fk_fn=face_fk_fn)
     summary = ev.evaluate(args.result_dir)

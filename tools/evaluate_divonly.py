@@ -23,6 +23,9 @@ def main():
                    default="datasets/assets_deps/smplx_models/smplx/"
                            "SMPLX_NEUTRAL_2020.npz")
     p.add_argument("--out", default=None)
+    p.add_argument("--avg-vel", default=None,
+                   help="per-joint dataset mean-velocity .npy for beat-align "
+                        "normalization (reference --avg_vel_path)")
     args = p.parse_args()
 
     from raggesture_tpu.eval.evaluator import EvalConfig, Evaluator
@@ -40,6 +43,7 @@ def main():
         logger.warning("SMPL-X asset missing — joint-space metrics skipped")
 
     cfg = EvalConfig(eval_n=args.eval_n, compute_fgd=False,
+                     avg_vel_path=args.avg_vel,
                      compute_mpjpe=False)
     ev = Evaluator(cfg, fgd_embed_fn=None, fk_fn=fk_fn)
     summary = ev.evaluate(args.result_dir)
