@@ -600,9 +600,23 @@ class ShardCache:
         silently served as — a complete cache."""
         return os.path.exists(self._complete_path)
 
-    def mark_complete(self):
+    @property
+    def extractor_name(self) -> Optional[str]:
+        """Featurizer class the cache was built with (None for pre-marker
+        caches) — lets tools warn when per-chunk re-featurization would
+        mix feature spaces (tools/longform_synthesis.py)."""
+        if not os.path.exists(self._complete_path):
+            return None
+        with open(self._complete_path) as f:
+            raw = f.read().strip()
+        try:
+            return json.loads(raw).get("extractor")
+        except (ValueError, AttributeError):
+            return None  # legacy "1" marker
+
+    def mark_complete(self, extractor_name: Optional[str] = None):
         with open(self._complete_path, "w") as f:
-            f.write("1")
+            json.dump({"extractor": extractor_name}, f)
 
     def _base(self, idx: int, write: bool = False) -> str:
         grouped = os.path.join(self.path, f"g{idx // self.GROUP:04d}",

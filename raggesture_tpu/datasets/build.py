@@ -273,7 +273,7 @@ def build_cache(cfg: BeatXConfig, extractor: Optional[FeatureExtractor] = None,
         cache.write(records)
         logger.info("[%d/%d] %s -> %d windows (total %d)", i + 1, len(files),
                     fid, len(records), len(cache))
-    cache.mark_complete()
+    cache.mark_complete(extractor_name=type(extractor).__name__)
     return cache
 
 

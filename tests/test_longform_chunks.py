@@ -74,12 +74,16 @@ def test_slice_then_refeaturize():
     np.testing.assert_array_equal(chunk["word"], rec["word"][:150])
 
 
-def test_refeaturize_empty_text_keeps_feature():
+def test_refeaturize_empty_text_reencodes_not_full_clip():
+    """A silent chunk must NOT inherit the full-clip transcript features:
+    the reference re-runs BERT per chunk unconditionally (even on an empty
+    sentence, longform_synthesis.py:64-81)."""
     rec = _full_record()
     chunk = slice_chunk(rec, 270, 420, FPS)  # tail: no segments in window
-    before = chunk["text_feature"].copy()
+    full_clip_feats = chunk["text_feature"].copy()  # sliced-in full-clip
     refeaturize_chunk(chunk, StubFeatureExtractor())
-    # no transcript in this chunk -> text feature left untouched
-    np.testing.assert_array_equal(chunk["text_feature"], before)
+    # no transcript in this chunk -> encoded EMPTY sentence, not the clip's
+    assert chunk["raw_word"] == ""
+    assert not np.array_equal(chunk["text_feature"], full_clip_feats)
     # audio still re-extracted (padded raw audio)
     assert chunk["audio"].shape[1] == 768

@@ -15,7 +15,6 @@ Usage:
 """
 
 import argparse
-import math
 import os
 import sys
 
@@ -43,8 +42,10 @@ def parse_args():
                         "audio/transcript (reference longform_synthesis.py:"
                         "64-94,322-344; wav2vec2/BERT features are context-"
                         "dependent, so slicing full-clip features differs); "
-                        "--no-refeaturize-chunks keeps the fast "
-                        "proportional-slice path")
+                        "--no-refeaturize-chunks keeps the "
+                        "proportional-slice path — note its chunk audio "
+                        "length varies per clip, so the jitted pipelines "
+                        "recompile per distinct clip length")
     p.add_argument("--options", nargs="+", default=[])
     return p.parse_args()
 
@@ -138,11 +139,13 @@ def refeaturize_chunk(chunk, extractor, audio_sr: int = 16000):
         if ra.size else np.zeros((1, extractor.audio_dim), np.float32))
     merged = merge_textsegs(chunk.get("text_segments", []))
     sentence = " ".join(t[1] for t in merged).strip()
-    if sentence:
-        _, tf = extractor.word_embeddings(sentence)
-        if tf is not None:
-            chunk["text_feature"] = np.asarray(tf, np.float32)
-            chunk["raw_word"] = sentence
+    # encode EVEN an empty sentence (CLS/SEP-only rows): a silent chunk
+    # must not inherit the FULL-CLIP transcript's text_feature/raw_word —
+    # the reference re-runs BERT per chunk unconditionally (:64-81)
+    _, tf = extractor.word_embeddings(sentence)
+    if tf is not None:
+        chunk["text_feature"] = np.asarray(tf, np.float32)
+        chunk["raw_word"] = sentence
     return chunk
 
 
@@ -154,7 +157,6 @@ def main():
     from raggesture_tpu.builders import (
         beatx_config_from,
         build_architecture,
-        retrieval_config_from,
     )
     from raggesture_tpu.config import Config
     from raggesture_tpu.datasets.beatx import collate
@@ -166,14 +168,9 @@ def main():
     from raggesture_tpu.models.architecture import (
         InferenceOptions,
         StagedGenerator,
-        guidance_iters_schedule,
         init_params,
     )
-    from raggesture_tpu.retrieval.database import (
-        RetrievalCorpus,
-        RetrievalDatabase,
-        host_batch_from_records,
-    )
+    from raggesture_tpu.retrieval.database import host_batch_from_records
     from raggesture_tpu.train.checkpoint import load_params
     from raggesture_tpu.train.runner import device_batch
     from raggesture_tpu.utils.env import setup_compilation_cache
@@ -218,21 +215,35 @@ def main():
 
     db = None
     if args.retrieval_method != "none":
+        from tools.visualize import build_retrieval_db
+
         train_ds = _dataset(beatx_config_from(cfg.data.train))
-        rcfg = retrieval_config_from(cfg.model.model)
-        corpus = RetrievalCorpus.build(train_ds, rcfg)
-        db = RetrievalDatabase(corpus, rcfg, train_ds)
+        db = build_retrieval_db(cfg, train_ds, logger)
 
     chunk_ext = None
     if args.refeaturize_chunks:
         from raggesture_tpu.datasets.beatx import StubFeatureExtractor
 
-        chunk_ext = _ext[0] or make_default_extractor()
+        cache_ext = getattr(getattr(test_ds, "cache", None),
+                            "extractor_name", None)
+        if cache_ext == "StubFeatureExtractor":
+            # stub-built caches (hermetic tests): re-featurizing with real
+            # HF models would condition chunks on a DIFFERENT feature space
+            # than the corpus/checkpoint — stay in the stub space
+            chunk_ext = StubFeatureExtractor()
+        else:
+            chunk_ext = _ext[0] or make_default_extractor()
         if chunk_ext is None:
             logger.warning(
                 "no HF featurizers available — per-chunk re-extraction uses "
                 "the deterministic stub (consistent with stub-built caches)")
             chunk_ext = StubFeatureExtractor()
+        if cache_ext and type(chunk_ext).__name__ != cache_ext:
+            logger.warning(
+                "per-chunk featurizer %s differs from the cache's %s — "
+                "chunk conditioning will live in a different feature space "
+                "than the corpus/checkpoint",
+                type(chunk_ext).__name__, cache_ext)
 
     ex = slice_chunk(test_ds[0], 0, window, fps)
     ex_batch = device_batch(collate([ex]))
@@ -244,7 +255,9 @@ def main():
         lambda b: model.apply(params, b, rng=None, sample=False,
                               method=model.encode_motion))
 
-    gi = guidance_iters_schedule(args.guidance_iters, sched.num_timesteps) \
+    from tools.visualize import parse_guidance_iters
+
+    gi = parse_guidance_iters(args.guidance_iters, sched.num_timesteps) \
         if args.insertion_guidance else None
 
     rng = jax.random.PRNGKey(args.seed)

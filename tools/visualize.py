@@ -56,20 +56,65 @@ def parse_args():
                    help="SMPLX_NEUTRAL_2020.npz path enabling mesh renders "
                         "(reference visualize.py uses test_dataset.smplx)")
     p.add_argument("--options", nargs="+", default=[])
-    return p.parse_args()
+    args = p.parse_args()
+    if args.retrieval_method == "none" and (args.use_inversion
+                                            or args.outpaint):
+        p.error("--use-inversion/--outpaint need retrieved exemplars; "
+                "pick a --retrieval-method other than 'none'")
+    if args.insertion_guidance and not args.use_inversion:
+        p.error("--insertion-guidance requires --use-inversion "
+                "(reference inference_kwargs contract)")
+    return args
+
+
+def parse_guidance_iters(spec: str, num_steps: int):
+    """--guidance-iters: a named schedule or a comma list of ints (shared
+    by visualize.py and longform_synthesis.py)."""
+    from raggesture_tpu.models.architecture import guidance_iters_schedule
+
+    if "," in spec:
+        return guidance_iters_schedule([int(v) for v in spec.split(",")],
+                                       num_steps)
+    return guidance_iters_schedule(spec, num_steps)
+
+
+def build_retrieval_db(cfg, train_ds, logger):
+    """RetrievalDatabase with the corpus cache + DatabaseSaveHook memo
+    loading the reference performs at tool startup (shared by visualize.py
+    and longform_synthesis.py)."""
+    import os as _os
+
+    from raggesture_tpu.builders import retrieval_config_from
+    from raggesture_tpu.retrieval.database import (
+        RetrievalCorpus,
+        RetrievalDatabase,
+    )
+
+    rcfg = retrieval_config_from(cfg.model.model)
+    rcache = cfg.model.model.retrieval_cfg.get("cache_path")
+    if rcache and _os.path.exists(_os.path.join(rcache, "meta.json")) \
+            and not cfg.model.model.retrieval_cfg.get("new_cache", False):
+        corpus = RetrievalCorpus.load(rcache)
+        logger.info("loaded retrieval corpus from %s", rcache)
+    else:
+        corpus = RetrievalCorpus.build(train_ds, rcfg)
+        if rcache:
+            corpus.save(rcache)
+    db = RetrievalDatabase(corpus, rcfg, train_ds)
+    for hook in cfg.get("custom_hooks", []):
+        if hook.get("type") == "DatabaseSaveHook" and hook.get("save_dir"):
+            db.load_memo(hook["save_dir"])
+    return db
 
 
 def main():
     args = parse_args()
 
     import jax
-    import jax.numpy as jnp
 
     from raggesture_tpu.builders import (
-        arch_config_from,
         beatx_config_from,
         build_architecture,
-        retrieval_config_from,
     )
     from raggesture_tpu.config import Config
     from raggesture_tpu.datasets.build import (
@@ -81,14 +126,9 @@ def main():
     from raggesture_tpu.models.architecture import (
         InferenceOptions,
         StagedGenerator,
-        guidance_iters_schedule,
         init_params,
     )
-    from raggesture_tpu.retrieval.database import (
-        RetrievalCorpus,
-        RetrievalDatabase,
-        host_batch_from_records,
-    )
+    from raggesture_tpu.retrieval.database import host_batch_from_records
     from raggesture_tpu.train.checkpoint import load_params
     from raggesture_tpu.train.runner import device_batch
     from raggesture_tpu.utils.env import setup_compilation_cache
@@ -107,7 +147,9 @@ def main():
         cfg.merge_option_strings(args.options)
 
     model = build_architecture(cfg.model)
-    fps = cfg.data.train.get("pose_fps", 15)
+    # the tool processes the TEST dataset — its fps decides the 30fps
+    # upsample factor (longform_synthesis.py does the same)
+    fps = cfg.data.test.get("pose_fps", 15)
 
     render_model, render_faces = None, None
     if args.render and args.smplx_asset:
@@ -136,20 +178,7 @@ def main():
     db = None
     if args.retrieval_method != "none":
         train_ds = _dataset(beatx_config_from(cfg.data.train))
-        rcfg = retrieval_config_from(cfg.model.model)
-        rcache = cfg.model.model.retrieval_cfg.get("cache_path")
-        if rcache and os.path.exists(os.path.join(rcache, "meta.json")) \
-                and not cfg.model.model.retrieval_cfg.get("new_cache", False):
-            corpus = RetrievalCorpus.load(rcache)
-            logger.info("loaded retrieval corpus from %s", rcache)
-        else:
-            corpus = RetrievalCorpus.build(train_ds, rcfg)
-            if rcache:
-                corpus.save(rcache)
-        db = RetrievalDatabase(corpus, rcfg, train_ds)
-        for hook in cfg.get("custom_hooks", []):
-            if hook.get("type") == "DatabaseSaveHook" and hook.get("save_dir"):
-                db.load_memo(hook["save_dir"])
+        db = build_retrieval_db(cfg, train_ds, logger)
 
     # params
     ex = test_ds[0]
@@ -168,13 +197,7 @@ def main():
 
     gi = None
     if args.insertion_guidance:
-        if "," in args.guidance_iters:
-            gi = guidance_iters_schedule(
-                [int(v) for v in args.guidance_iters.split(",")],
-                sched.num_timesteps)
-        else:
-            gi = guidance_iters_schedule(args.guidance_iters,
-                                         sched.num_timesteps)
+        gi = parse_guidance_iters(args.guidance_iters, sched.num_timesteps)
     opts = InferenceOptions(
         use_inversion=args.use_inversion,
         insertion_guidance=args.insertion_guidance,
