@@ -117,7 +117,8 @@ def _exec_pyfile(path: str) -> Dict[str, Any]:
         sys.modules.pop(spec.name, None)
     return {
         k: v for k, v in vars(module).items()
-        if k not in _RESERVED and not isinstance(v, types.ModuleType)
+        if k not in _RESERVED and k != "__annotations__"
+        and not isinstance(v, types.ModuleType)
         and not callable(v)
     }
 
@@ -134,11 +135,35 @@ def _load_with_bases(path: str) -> Dict[str, Any]:
     return deep_merge(merged, cfg)
 
 
+def _split_top_level_commas(raw: str) -> List[str]:
+    """Split on commas OUTSIDE brackets/quotes (mmcv DictAction's
+    _parse_iterable bracket handling): ``[64,128],[1,2]`` -> two items."""
+    parts, depth, quote, start = [], 0, None, 0
+    for i, ch in enumerate(raw):
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in "\"'":
+            quote = ch
+        elif ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(raw[start:i])
+            start = i + 1
+    parts.append(raw[start:])
+    return parts
+
+
 def parse_option_value(raw: str) -> Any:
     """Parse a CLI override value: literal-eval when possible, with
-    true/false aliases; comma-separated values become lists."""
-    if "," in raw:
-        return [parse_option_value(v) for v in raw.split(",") if v != ""]
+    true/false aliases; TOP-LEVEL comma-separated values become lists
+    (commas inside brackets/quotes stay part of one literal, so
+    ``dims=[64,128]`` parses as a list of ints, not two broken strings)."""
+    parts = _split_top_level_commas(raw)
+    if len(parts) > 1:
+        return [parse_option_value(v) for v in parts if v != ""]
     low = raw.lower()
     if low in ("true", "yes"):
         return True
@@ -210,9 +235,17 @@ class Config:
         for dotted, value in options.items():
             keys = dotted.split(".")
             node = self._cfg
-            for k in keys[:-1]:
-                if k not in node or not isinstance(node[k], Mapping):
+            for j, k in enumerate(keys[:-1]):
+                if k not in node:
                     node[k] = ConfigDict()
+                elif not isinstance(node[k], Mapping):
+                    # a typo'd path like optimizer.lr.warmup must not
+                    # silently REPLACE the existing scalar (mmcv's
+                    # merge_from_dict errors here too)
+                    raise KeyError(
+                        f"override {dotted!r}: "
+                        f"{'.'.join(keys[:j + 1])!r} is not a dict "
+                        f"(existing value {node[k]!r})")
                 node = node[k]
             node[keys[-1]] = value
 

@@ -57,7 +57,7 @@ class UniformSampler(ScheduleSampler):
 
 
 class LossSecondMomentResampler(ScheduleSampler):
-    """gaussian_diffusion.py:109-153: p(t) ∝ sqrt(E[loss_t^2]), 1% uniform
+    """gaussian_diffusion.py:109-153: p(t) ∝ sqrt(E[loss_t^2]), 0.1% uniform
     floor, uniform until history_per_term samples per t are collected."""
 
     def __init__(self, num_timesteps: int, history_per_term: int = 10,

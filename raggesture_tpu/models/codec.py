@@ -172,9 +172,9 @@ class GestureCodec(nn.Module):
             [zs["upper"], sep, zs["hands"], sep, zs["face"], sep, zs["lowertrans"]],
             axis=1,
         )
-        m = frame_mask[:, :: c.frame_chunk_size]
-        msep = jnp.zeros_like(m[:, :1])
-        token_mask = jnp.concatenate([m, msep, m, msep, m, msep, m], axis=1)
+        from .layers import strided_token_mask
+
+        token_mask = strided_token_mask(frame_mask, c.frame_chunk_size)
         return latents, token_mask
 
     def encode_dist(

@@ -102,8 +102,22 @@ class DenoiserConfig:
 
     @property
     def sep_indices(self) -> tuple:
+        """TRUE separator token positions in the 43-token layout."""
         L = self.tokens_per_part
         return (L, 2 * L + 1, 3 * L + 2)
+
+    @property
+    def quirk_sep_indices(self) -> tuple:
+        """The reference's QUERY-MASK 'separator' indices [L, 2L, 3L]
+        (diffusion_architecture.py:156: ``[(T-3)//4, 2*(T-3)//4,
+        3*(T-3)//4]``) — NOT the true layout separators above.  Tokens 2L
+        and 3L are VALID tokens (the last hands chunk and the 9th face
+        chunk) that the reference masks anyway, while true separators 2L+1
+        and 3L+2 stay unmasked; the released checkpoints were trained with
+        this off-by-part-offset quirk, so checkpoint parity requires
+        replicating it exactly (default_query_masks)."""
+        L = self.tokens_per_part
+        return (L, 2 * L, 3 * L)
 
     def part_slices(self) -> Dict[str, slice]:
         """Token index ranges of the four parts in the 43-token layout
@@ -331,19 +345,21 @@ class GestureDenoiser(nn.Module):
         return self.out(h)
 
 
-def default_query_masks(cfg: DenoiserConfig, batch: int,
-                        motion_mask: Optional[jnp.ndarray] = None) -> Dict[str, jnp.ndarray]:
-    """Cross-attention query masks: ones everywhere except the 3 separator
-    tokens (diffusion_architecture.py:151-166)."""
+def default_query_masks(cfg: DenoiserConfig, batch: int) -> Dict[str, jnp.ndarray]:
+    """Cross-attention query masks: ones except the reference's 3
+    'separator' indices [L, 2L, 3L] (diffusion_architecture.py:151-166).
+
+    NOTE these are the reference's off-by-part-offset QUIRK indices, not
+    the layout's true separators — see DenoiserConfig.quirk_sep_indices.
+    """
     m = jnp.ones((batch, cfg.num_tokens))
-    m = m.at[:, list(cfg.sep_indices)].set(0.0)
+    m = m.at[:, list(cfg.quirk_sep_indices)].set(0.0)
     return {k: m for k in COND_KEYS}
 
 
 def latent_motion_mask(cfg: DenoiserConfig, frame_mask: jnp.ndarray) -> jnp.ndarray:
-    """Frame-level mask (B, 150) -> token-level mask (B, 43): stride by the
-    chunk size and tile 4x with zero separators
-    (diffusion_transformer.py:252-254)."""
-    m = frame_mask[:, :: cfg.frame_chunk_size]  # (B, L)
-    sep = jnp.zeros_like(m[:, :1])
-    return jnp.concatenate([m, sep, m, sep, m, sep, m], axis=1)
+    """Frame-level mask (B, 150) -> token-level mask (B, 43)
+    (diffusion_transformer.py:252-254; shared with GestureCodec.encode)."""
+    from .layers import strided_token_mask
+
+    return strided_token_mask(frame_mask, cfg.frame_chunk_size)

@@ -122,3 +122,14 @@ class FFN(nn.Module):
             y, emb, deterministic
         )
         return y
+
+
+def strided_token_mask(frame_mask, chunk_size: int):
+    """Frame-level mask (B, T_frames) -> 43-token-layout mask (B, 4L+3):
+    stride by the chunk size and tile 4x with zero separators
+    (diffusion_transformer.py:252-254).  One shared implementation for the
+    codec encode and the denoiser (latent_motion_mask) so the token layout
+    cannot desynchronize between the training encode and sampling paths."""
+    m = frame_mask[:, ::chunk_size]
+    sep = jnp.zeros_like(m[:, :1])
+    return jnp.concatenate([m, sep, m, sep, m, sep, m], axis=1)

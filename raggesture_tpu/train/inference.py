@@ -84,7 +84,7 @@ def multi_device_test(generate_fn: Callable[[Dict], Dict], data_loader,
 
     blob = encode_result_blob(local)
     sizes = multihost_utils.process_allgather(
-        np.asarray([blob.size], np.int32)).reshape(-1)
+        np.asarray([blob.size], np.int64)).reshape(-1)
     gathered = multihost_utils.process_allgather(
         pad_result_blob(blob, int(sizes.max())))
     return merge_result_blobs(np.asarray(gathered), sizes)

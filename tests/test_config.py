@@ -101,3 +101,44 @@ def test_registry_build():
     assert (obj.a, obj.b) == (1, 2)
     with pytest.raises(KeyError):
         build_from_cfg({"type": "Missing"}, R)
+
+
+def test_option_value_brackets_and_quotes():
+    """mmcv DictAction parity: commas inside brackets/quotes stay part of
+    one literal; top-level commas still make lists."""
+    from raggesture_tpu.config import parse_option_value
+
+    assert parse_option_value("[64,128]") == [64, 128]
+    assert parse_option_value("(1,2)") == (1, 2)
+    assert parse_option_value("[1,2],[3,4]") == [[1, 2], [3, 4]]
+    assert parse_option_value("'x,y'") == "x,y"
+    assert parse_option_value("1,2,3") == [1, 2, 3]
+    assert parse_option_value("{'a': 1, 'b': 2}") == {"a": 1, "b": 2}
+
+
+def test_merge_option_rejects_scalar_intermediate(tmp_path):
+    """A typo'd dotted path must not silently clobber an existing scalar
+    (mmcv merge_from_dict errors here too)."""
+    import pytest
+
+    from raggesture_tpu.config import Config
+
+    cfg = Config.fromdict({"optimizer": {"lr": 1e-4}})
+    with pytest.raises(KeyError, match="optimizer.lr"):
+        cfg.merge_option_strings(["optimizer.lr.warmup=5"])
+    assert cfg.optimizer.lr == 1e-4  # untouched
+
+
+def test_annotated_config_assignments_stay_clean(tmp_path):
+    """`lr: float = 1e-4` must not leak an __annotations__ key into the
+    config (it would make dump() unloadable)."""
+    from raggesture_tpu.config import Config
+
+    p = tmp_path / "cfg.py"
+    p.write_text("lr: float = 1e-4\nname = 'x'\n")
+    cfg = Config.fromfile(str(p))
+    assert "__annotations__" not in cfg.to_dict()
+    out = tmp_path / "dump.py"
+    cfg.dump(str(out))
+    cfg2 = Config.fromfile(str(out))
+    assert cfg2.lr == 1e-4 and cfg2.name == "x"

@@ -289,7 +289,7 @@ def test_denoiser_conversion_full_parity():
     # torch reference forward (reference forward_train semantics,
     # raggesture.py:1018-1038, with cond_type fixed to keep conditions)
     from raggesture_tpu.models.layers import timestep_embedding, sine_position_table
-    from raggesture_tpu.models.denoiser import default_query_masks
+    from tests.test_fused_denoiser import parity_query_masks
 
     with torch.no_grad():
         emb_in = torch.from_numpy(np.asarray(
@@ -306,7 +306,7 @@ def test_denoiser_conversion_full_parity():
         h = h + torch.from_numpy(pos_cat).unsqueeze(0)
         h = h + td.global_positional_embedding.pe[:n_tok, 0][None]
         src_mask = torch.from_numpy(mask[..., None])
-        qm = np.asarray(default_query_masks(cfg, B)["xf_text"])
+        qm = np.asarray(parity_query_masks(cfg, B)["xf_text"])
         qm_t = torch.from_numpy(qm)
         cond_type = torch.ones(B, 1, 1) * 99  # % 10 > 0 -> conditions kept
         for blk in td.temporal_decoder_blocks:
@@ -320,7 +320,7 @@ def test_denoiser_conversion_full_parity():
 
     conds = den.apply(dn_params, jnp.asarray(word), jnp.asarray(audio),
                       jnp.asarray(spk), method=den.encode_conditions)
-    qm = default_query_masks(cfg, B)
+    qm = parity_query_masks(cfg, B)
     out = den.apply(dn_params, jnp.asarray(x), jnp.asarray(t),
                     jnp.asarray(mask), conds, qm, jnp.ones((B, 1, 1)))
     # compare valid tokens only: the reference's -1e6 query-mask quirk makes

@@ -17,6 +17,22 @@ from raggesture_tpu.models.fused_denoiser import (
 )
 
 
+
+def parity_query_masks(cfg, B):
+    """Query masks at the TRUE separator tokens — noise-free for
+    cross-implementation parity comparisons.  PRODUCTION masks follow the
+    reference's quirk indices [L, 2L, 3L] (default_query_masks), which put
+    the -1e6 output quirk on two VALID tokens; its f32 catastrophic
+    cancellation amplifies implementation ulp differences ~1e6x and then
+    propagates through self-attention, so exact cross-framework comparison
+    is only meaningful with the quirk confined to rows the token-validity
+    mask already zeroes.  Math equivalence is mask-independent."""
+    from raggesture_tpu.models.denoiser import COND_KEYS
+
+    m = jnp.ones((B, cfg.num_tokens))
+    m = m.at[:, list(cfg.sep_indices)].set(0.0)
+    return {k: m for k in COND_KEYS}
+
 def _setup(B=2, layers=2, D=32, H=4, text_dim=24):
     cfg = DenoiserConfig(latent_dim=D, time_embed_dim=4 * D,
                          num_layers=layers, num_heads=H, ff_size=2 * D,
@@ -36,7 +52,7 @@ def _setup(B=2, layers=2, D=32, H=4, text_dim=24):
 
     def run(mdl):
         cc = mdl.encode_conditions(word, audio, spk)
-        return mdl(x, t, mask, cc, default_query_masks(cfg, B),
+        return mdl(x, t, mask, cc, parity_query_masks(cfg, B),
                    jnp.ones((B, 1, 1)))
 
     params = nn.init(run, den)(jax.random.PRNGKey(0))
@@ -65,7 +81,7 @@ def test_fused_denoise_matches_module():
     B = x.shape[0]
     conds = den.apply(params, word, audio, spk,
                       method=den.encode_conditions)
-    qm = default_query_masks(cfg, B)
+    qm = parity_query_masks(cfg, B)
     cm = jnp.ones((B, 1, 1))
     ref = den.apply(params, x, t, mask, conds, qm, cm)
     out = fused_denoise(params, cfg, x, t, mask, conds, qm, cm,
@@ -79,7 +95,7 @@ def test_fused_denoise_pallas_matches_module():
     cfg, den, params, (x, t, mask, word, audio, spk) = _setup()
     B = x.shape[0]
     conds = den.apply(params, word, audio, spk, method=den.encode_conditions)
-    qm = default_query_masks(cfg, B)
+    qm = parity_query_masks(cfg, B)
     cm = jnp.ones((B, 1, 1))
     ref = den.apply(params, x, t, mask, conds, qm, cm)
     # interpret-mode pallas on CPU
@@ -143,7 +159,7 @@ def test_fused_denoise_ctx_matches_module():
     cfg, den, params, (x, t, mask, word, audio, spk) = _setup()
     B = x.shape[0]
     conds = den.apply(params, word, audio, spk, method=den.encode_conditions)
-    qm = default_query_masks(cfg, B)
+    qm = parity_query_masks(cfg, B)
     cm = jnp.ones((B, 1, 1))
     ref = den.apply(params, x, t, mask, conds, qm, cm)
     ctx = precompute_cross_contexts(params["params"], cfg, conds, cm)
@@ -214,7 +230,7 @@ def test_merged_cross_block_kernel_matches_xla():
     cfg, den, params, (x, t, mask, word, audio, spk) = _setup()
     B, T = x.shape[:2]
     conds = den.apply(params, word, audio, spk, method=den.encode_conditions)
-    qm = default_query_masks(cfg, B)
+    qm = parity_query_masks(cfg, B)
     cm = jnp.ones((B, 1, 1))
     p = params["params"]
     ctx = precompute_cross_contexts(p, cfg, conds, cm)
@@ -258,7 +274,7 @@ def test_fused_paths_with_distinct_ca_heads():
     den2 = GestureDenoiser(cfg2)
     B = x.shape[0]
     conds = den2.apply(params, word, audio, spk, method=den2.encode_conditions)
-    qm = default_query_masks(cfg2, B)
+    qm = parity_query_masks(cfg2, B)
     cm = jnp.ones((B, 1, 1))
     ref = den2.apply(params, x, t, mask, conds, qm, cm)
     out = fused_denoise(params, cfg2, x, t, mask, conds, qm, cm,
@@ -297,7 +313,7 @@ def test_fused_decoder_layer_kernel_matches_xla():
     cfg, den, params, (x, t, mask, word, audio, spk) = _setup()
     B, T, D = x.shape
     conds = den.apply(params, word, audio, spk, method=den.encode_conditions)
-    qm = default_query_masks(cfg, B)
+    qm = parity_query_masks(cfg, B)
     cm = jnp.ones((B, 1, 1))
     p = params["params"]
     ctx = precompute_cross_contexts(p, cfg, conds, cm)
@@ -352,7 +368,7 @@ def test_fused_decoder_layer_kernel_grid_over_pairs():
     cfg, den, params, (x, t, mask, word, audio, spk) = _setup()
     B, T, D = x.shape
     conds = den.apply(params, word, audio, spk, method=den.encode_conditions)
-    qm = default_query_masks(cfg, B)
+    qm = parity_query_masks(cfg, B)
     p = params["params"]
     ctx = precompute_cross_contexts(p, cfg, conds, jnp.ones((B, 1, 1)))
     emb = jnp.broadcast_to(
@@ -415,7 +431,7 @@ def test_fused_decoder_layer_kernel_bf16_and_distinct_ca_heads():
     assert cfg.ca_heads == 2 and cfg.num_heads == 4
     B, T, D = x.shape
     conds = den.apply(params, word, audio, spk, method=den.encode_conditions)
-    qm = default_query_masks(cfg, B)
+    qm = parity_query_masks(cfg, B)
     p = params["params"]
     ctx = precompute_cross_contexts(p, cfg, conds, jnp.ones((B, 1, 1)))
     emb = jnp.broadcast_to(
@@ -472,7 +488,7 @@ def test_fused_decoder_layer_kernel_fully_masked_pair_partner():
     cfg, den, params, (x, t, mask, word, audio, spk) = _setup()
     B, T, D = x.shape
     conds = den.apply(params, word, audio, spk, method=den.encode_conditions)
-    qm = default_query_masks(cfg, B)
+    qm = parity_query_masks(cfg, B)
     p = params["params"]
     ctx = precompute_cross_contexts(p, cfg, conds, jnp.ones((B, 1, 1)))
     emb = jnp.broadcast_to(
@@ -499,3 +515,16 @@ def test_fused_decoder_layer_kernel_fully_masked_pair_partner():
     out = np.asarray(out).reshape(B, Tp, D)[:, :T]
     valid = np.asarray(mask0) > 0
     assert np.isfinite(out[valid]).all()
+
+
+def test_default_query_masks_replicate_reference_quirk_indices():
+    """PRODUCTION query masks zero [L, 2L, 3L] — the reference's
+    off-by-part-offset 'separator' indices (diffusion_architecture.py:156),
+    NOT the true layout separators [L, 2L+1, 3L+2].  The released
+    checkpoints were trained with this quirk."""
+    cfg = DenoiserConfig()
+    m = np.asarray(default_query_masks(cfg, 1)["xf_text"])[0]
+    L = cfg.tokens_per_part
+    zeros = np.where(m == 0)[0].tolist()
+    assert zeros == [L, 2 * L, 3 * L] == [10, 20, 30]
+    assert list(cfg.sep_indices) == [10, 21, 32]  # true separators differ
