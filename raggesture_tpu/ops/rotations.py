@@ -78,8 +78,14 @@ def axis_angle_to_matrix(axis_angle: jnp.ndarray) -> jnp.ndarray:
 
 
 def _sqrt_positive_part(x: jnp.ndarray) -> jnp.ndarray:
-    """sqrt(max(0, x)) with a zero subgradient at x <= 0."""
-    return jnp.sqrt(jnp.maximum(x, 0.0))
+    """sqrt(max(0, x)) with a ZERO gradient at x <= 0.
+
+    The double-where is required: plain sqrt(maximum(x, 0)) backprops
+    cotangent * sqrt'(0)=inf -> NaN at exactly x == 0, which three of the
+    four Shepperd candidates hit at the IDENTITY rotation (the most common
+    rotation in mocap rest poses)."""
+    safe = jnp.where(x > 0.0, x, 1.0)
+    return jnp.where(x > 0.0, jnp.sqrt(safe), 0.0)
 
 
 def matrix_to_quaternion(matrix: jnp.ndarray) -> jnp.ndarray:
@@ -134,13 +140,18 @@ def jax_one_hot(indices: jnp.ndarray, num_classes: int) -> jnp.ndarray:
 
 
 def quaternion_to_axis_angle(quaternions: jnp.ndarray) -> jnp.ndarray:
-    """(..., 4) wxyz quaternion -> (..., 3) axis-angle."""
+    """(..., 4) wxyz quaternion -> (..., 3) axis-angle.
+
+    The Taylor branch is selected by SMALL ANGLE (PyTorch3D semantics), not
+    by small vector norm: a w<0 quaternion with a tiny vector part has
+    angle ~2*pi, where the small-angle expansion is invalid (a norm-based
+    branch returned a negative, meaningless sin_half_over_angle there)."""
     sq = jnp.sum(quaternions[..., 1:] * quaternions[..., 1:], axis=-1, keepdims=True)
-    small = sq < _EPS**2
-    norms = jnp.sqrt(jnp.where(small, jnp.ones_like(sq), sq))
-    norms = jnp.where(small, jnp.zeros_like(norms), norms)
+    # grad-safe norm (zero gradient at the zero vector)
+    norms = jnp.where(sq > 0.0, jnp.sqrt(jnp.where(sq > 0.0, sq, 1.0)), 0.0)
     half_angles = jnp.arctan2(norms, quaternions[..., :1])
     angles = 2.0 * half_angles
+    small = jnp.abs(angles) < _EPS
     sin_half_over_angle = jnp.where(
         small,
         0.5 - (angles * angles) / 48.0,
@@ -250,10 +261,14 @@ def qslerp(q0: jnp.ndarray, q1: jnp.ndarray, t) -> jnp.ndarray:
     dot = jnp.sum(q0 * q1, axis=-1, keepdims=True)
     q1 = jnp.where(dot < 0, -q1, q1)
     dot = jnp.abs(dot)
-    # fall back to lerp when nearly parallel
-    theta = jnp.arccos(jnp.clip(dot, -1.0, 1.0))
+    # fall back to lerp when nearly parallel.  ``near`` is decided on the
+    # (clipped) dot, and arccos is evaluated on a SAFE input: arccos'(1) is
+    # -inf, so without the double-where interpolating two identical
+    # quaternions (a still pose) NaNs under jax.grad
+    dot_c = jnp.clip(dot, -1.0, 1.0)
+    near = dot_c > 1.0 - 1e-7
+    theta = jnp.arccos(jnp.where(near, 0.0, dot_c))
     sin_theta = jnp.sin(theta)
-    near = sin_theta < 1e-6
     w0 = jnp.where(near, 1.0 - t, jnp.sin((1.0 - t) * theta)
                    / jnp.where(near, 1.0, sin_theta))
     w1 = jnp.where(near, t, jnp.sin(t * theta)

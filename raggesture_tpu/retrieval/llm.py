@@ -183,7 +183,16 @@ def llm_retrieval(
     if not text.strip():
         return sample_indexes, d_bounds, {}
 
-    llm_fn = llm_fn or heuristic_labeler
+    if llm_fn is None:
+        # honor the documented recipe: with OPENAI_API_KEY set, the real
+        # gpt-4o-mini labeler runs (reference call_gpt_4o_mini); otherwise
+        # the deterministic offline heuristic
+        import os as _os
+
+        if _os.environ.get("OPENAI_API_KEY"):
+            llm_fn = make_openai_labeler()
+        else:
+            llm_fn = heuristic_labeler
     labels = parse_gesture_labels(llm_fn(text))
     if not labels:
         return sample_indexes, d_bounds, {}
@@ -212,20 +221,25 @@ def llm_retrieval(
             db_prom_raw = db_idx_2_prominence[smp_idx]
             if len(all_labels) == 0:
                 continue
-            # filter beats, keeping prominence aligned
+            # filter beats, keeping prominence aligned.  The gestprom cache
+            # is int-keyed per label (database.py build/load); a missing
+            # index means cache/label misalignment — fail loudly like the
+            # reference's len assert (llm_retrieval.py), never silently
+            # drop the prominence bonus
+            assert len(db_prom_raw) == len(all_labels), (
+                f"gestprom cache misaligned for sample {smp_idx}: "
+                f"{len(db_prom_raw)} prominence entries vs "
+                f"{len(all_labels)} gesture labels")
             labels_f, prom_f = [], []
             for gi, g in enumerate(all_labels):
                 if g["name"] == "beat":
                     continue
                 labels_f.append(g)
-                prom_f.append(db_prom_raw[gi] if gi in db_prom_raw
-                              else db_prom_raw.get(str(gi))
-                              if isinstance(db_prom_raw, dict) else db_prom_raw[gi])
+                prom_f.append(db_prom_raw[gi])
             types = [g["name"] for g in labels_f]
             words = [g["word"] for g in labels_f]
             if not types:
                 continue
-            assert len(prom_f) == len(types)
             smp_prom = {}
             for k, c2v in enumerate(prom_f):
                 smp_prom[k] = None if c2v is None else (types[k], c2v[0], c2v[1])

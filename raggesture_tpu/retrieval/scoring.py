@@ -78,7 +78,12 @@ def map_conns_to_prominence(
         if len(dps) > 1:
             sc_n = _alnum_space(conn_list[si])
             assert dps[0][0] == sc_n
-            out[si] = (conn_list[si], sum(d[1] for d in dps) / len(dps))
+            # return the NORMALIZED text like the single-word branch does
+            # (relevant[] stores sc_n): downstream consistency asserts in
+            # discourse.py compare against _alnum_space-normalized
+            # connectives, and a raw multi-word conn with punctuation
+            # ('on the other hand,') would crash them
+            out[si] = (sc_n, sum(d[1] for d in dps) / len(dps))
         else:
             out[si] = dps[0] if dps else None
     assert len(out) == len(conn_list)

@@ -102,7 +102,11 @@ def save_smplx_npz(path: str, poses: np.ndarray, expressions: np.ndarray,
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     np.savez(
         path,
-        betas=np.zeros(300) if betas is None else np.asarray(betas).reshape(-1)[:300],
+        # the smplx2020 schema promises betas(300): pad short arrays (e.g.
+        # standard 16-dim betas) with zeros, never write a short vector
+        betas=(np.zeros(300) if betas is None else np.concatenate([
+            np.asarray(betas, np.float64).reshape(-1)[:300],
+            np.zeros(max(0, 300 - np.asarray(betas).reshape(-1).shape[0]))])),
         poses=np.asarray(poses),
         expressions=np.asarray(expressions),
         trans=np.asarray(trans),

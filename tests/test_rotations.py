@@ -81,3 +81,39 @@ def test_feature_conversions_shapes():
     m1 = rot.axis_angle_to_matrix(x.reshape(4, 10, 13, 3))
     m2 = rot.axis_angle_to_matrix(aa.reshape(4, 10, 13, 3))
     np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), atol=1e-4)
+
+
+def test_grad_safe_at_identity_and_still_pose():
+    """The module contract: every conversion is safe under jax.grad.
+    sqrt'(0)=inf / arccos'(1)=-inf leaked NaNs at the IDENTITY rotation
+    (three Shepperd candidates are exactly 0 there) and at slerp between
+    identical quaternions (a still pose) before the double-where guards."""
+    g = jax.grad(lambda m: rot.matrix_to_axis_angle(m).sum())(jnp.eye(3))
+    assert np.isfinite(np.asarray(g)).all(), g
+
+    g6 = jax.grad(lambda m: rot.matrix_to_rotation_6d(m).sum())(jnp.eye(3))
+    assert np.isfinite(np.asarray(g6)).all()
+
+    q0 = jnp.asarray([1.0, 0.0, 0.0, 0.0])
+    gs = jax.grad(lambda q: rot.qslerp(q, q0, 0.5).sum())(q0)
+    assert np.isfinite(np.asarray(gs)).all(), gs
+
+
+def test_quaternion_to_axis_angle_negative_w_small_vector():
+    """A w<0 quaternion with a tiny vector part has angle ~2*pi — the
+    Taylor branch must be selected by SMALL ANGLE (PyTorch3D semantics),
+    not by small vector norm (which evaluated the expansion at 2*pi)."""
+    q = jnp.asarray([-1.0, 1e-3, 0.0, 0.0])
+    q = q / jnp.linalg.norm(q)
+    aa = np.asarray(rot.quaternion_to_axis_angle(q))
+    # rotation of ~2*pi about x
+    np.testing.assert_allclose(aa[0], 2 * np.pi, rtol=1e-3)
+    np.testing.assert_allclose(aa[1:], 0.0, atol=1e-6)
+
+    # the old norm-based classifier returned ~-3e-8 here (Taylor expansion
+    # evaluated at 2*pi); f32 sin near pi bounds accuracy to a few percent,
+    # so assert the magnitude class only
+    q = jnp.asarray([-1.0, 1e-6, 0.0, 0.0])
+    q = q / jnp.linalg.norm(q)
+    aa = np.asarray(rot.quaternion_to_axis_angle(q))
+    assert 5.0 < aa[0] < 7.5, aa
