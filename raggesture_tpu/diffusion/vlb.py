@@ -59,14 +59,16 @@ def _mean_flat(x):
 
 
 def vb_terms_bpd(model_output, sched: DiffusionSchedule, x_start, x_t, t, *,
-                 mean_type=MeanType.START_X, var_type=VarType.FIXED_LARGE):
+                 mean_type=MeanType.START_X, var_type=VarType.FIXED_LARGE,
+                 clip_denoised: bool = True):
     """One timestep's variational bound in bits-per-dim
     (gaussian_diffusion.py:1397-1431): KL(q(x_{t-1}|x_t,x_0) || p(x_{t-1}|x_t))
-    for t>0, decoder NLL at t=0."""
+    for t>0, decoder NLL at t=0.  ``clip_denoised`` defaults True like the
+    reference's _vb_terms_bpd."""
     true_mean, _, true_log_var = G.q_posterior_mean_variance(
         sched, x_start, x_t, t)
     out = G.p_mean_variance(sched, model_output, x_t, t, mean_type=mean_type,
-                            var_type=var_type)
+                            var_type=var_type, clip_denoised=clip_denoised)
     kl = normal_kl(true_mean, true_log_var, out.mean, out.log_variance)
     kl = _mean_flat(kl) / math.log(2.0)
     decoder_nll = -discretized_gaussian_log_likelihood(
@@ -88,12 +90,13 @@ def prior_bpd(sched: DiffusionSchedule, x_start):
 
 
 def calc_bpd_loop(model_fn, sched: DiffusionSchedule, x_start, rng, *,
-                  mean_type=MeanType.START_X, var_type=VarType.FIXED_LARGE):
+                  mean_type=MeanType.START_X, var_type=VarType.FIXED_LARGE,
+                  clip_denoised: bool = True):
     """Total bpd + per-timestep terms as one scan (:1554-1610).
 
     model_fn(x_t, t_orig, step_idx) -> model output (the sampler closure).
-    Returns dict with total_bpd (B,), prior_bpd (B,), vb (S, B), mse (S, B).
-    """
+    Returns dict with total_bpd (B,), prior_bpd (B,), vb (S, B),
+    xstart_mse (S, B), mse (S, B) — the reference's full contract."""
     B = x_start.shape[0]
     steps = jnp.arange(sched.num_timesteps - 1, -1, -1)
 
@@ -104,12 +107,15 @@ def calc_bpd_loop(model_fn, sched: DiffusionSchedule, x_start, rng, *,
         x_t = G.q_sample(sched, x_start, t, noise)
         t_orig = sched.timestep_map[t]
         out = vb_terms_bpd(model_fn(x_t, t_orig, i), sched, x_start, x_t, t,
-                           mean_type=mean_type, var_type=var_type)
+                           mean_type=mean_type, var_type=var_type,
+                           clip_denoised=clip_denoised)
+        xstart_mse = _mean_flat((out["pred_xstart"] - x_start) ** 2)
         eps = G.predict_eps_from_xstart(sched, x_t, t, out["pred_xstart"])
         mse = _mean_flat((eps - noise) ** 2)
-        return r, (out["output"], mse)
+        return r, (out["output"], xstart_mse, mse)
 
-    _, (vb, mse) = jax.lax.scan(body, rng, steps)
+    _, (vb, xstart_mse, mse) = jax.lax.scan(body, rng, steps)
     pb = prior_bpd(sched, x_start)
     total = vb.sum(axis=0) + pb
-    return {"total_bpd": total, "prior_bpd": pb, "vb": vb, "mse": mse}
+    return {"total_bpd": total, "prior_bpd": pb, "vb": vb,
+            "xstart_mse": xstart_mse, "mse": mse}

@@ -102,8 +102,11 @@ def vae_training_loss(vae: TransformerVAE, params, feats: jnp.ndarray,
                       cfg: VAETrainConfig
                       ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Masked recon + velocity recon + KL for one body-part VAE."""
-    r_sample = rng
-    z, (mu, logvar) = vae.apply(params, feats, rng=r_sample, sample=True,
+    # the frame mask must reach the ENCODER too (codec.py:166 does the
+    # same): with padded frames only the loss terms were masked while the
+    # encoder attention mixed pad garbage into every chunk latent
+    z, (mu, logvar) = vae.apply(params, feats, rng=rng, sample=True,
+                                frame_mask=mask,
                                 method=vae.encode_to_dist)
     rec = vae.apply(params, z, feats.shape[1], method=vae.decode)
     m = jnp.ones(feats.shape[:2]) if mask is None else mask

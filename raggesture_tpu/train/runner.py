@@ -210,11 +210,15 @@ def train_model(
                 if (global_step // log_interval != prev // log_interval
                         or n_batches == k):
                     # device values are fetched only when actually logging;
-                    # multi-step logs carry a leading (k,) axis — log means
+                    # multi-step logs carry a leading (k,) axis — log means.
+                    # force=True: THIS interval-crossing check is the
+                    # cadence — the writer's own step%interval gate would
+                    # drop most lines when steps advance by k > 1
                     host_logs = {key: float(np.mean(np.asarray(v)))
                                  for key, v in logs.items()}
                     host_logs["epoch_time"] = time.time() - t_epoch
-                    writer.write(global_step, host_logs, epoch=epoch)
+                    writer.write(global_step, host_logs, epoch=epoch,
+                                 force=True)
 
             def flush_mbuf():
                 nonlocal state

@@ -18,6 +18,8 @@ from typing import Dict, Optional
 _LOGGER_NAME = "raggesture"
 _initialized = False
 
+_LOG_FORMAT = "%(asctime)s - %(name)s - %(levelname)s - %(message)s"
+
 
 def get_root_logger(log_file: Optional[str] = None,
                     log_level: int = logging.INFO) -> logging.Logger:
@@ -25,8 +27,7 @@ def get_root_logger(log_file: Optional[str] = None,
     logger = logging.getLogger(_LOGGER_NAME)
     if not _initialized:
         logger.setLevel(log_level)
-        fmt = logging.Formatter(
-            "%(asctime)s - %(name)s - %(levelname)s - %(message)s")
+        fmt = logging.Formatter(_LOG_FORMAT)
         sh = logging.StreamHandler()
         sh.setFormatter(fmt)
         logger.addHandler(sh)
@@ -39,8 +40,7 @@ def get_root_logger(log_file: Optional[str] = None,
     ):
         os.makedirs(os.path.dirname(os.path.abspath(log_file)), exist_ok=True)
         fh = logging.FileHandler(log_file)
-        fh.setFormatter(logging.Formatter(
-            "%(asctime)s - %(name)s - %(levelname)s - %(message)s"))
+        fh.setFormatter(logging.Formatter(_LOG_FORMAT))
         logger.addHandler(fh)
     return logger
 
@@ -69,7 +69,11 @@ class MetricWriter:
               prefix: str = "train", epoch: Optional[int] = None,
               force: bool = False):
         scalars = {k: float(v) for k, v in scalars.items()}
-        rec = dict(step=step, time=time.time(), prefix=prefix, **scalars)
+        # record keys win over scalar names (a metric literally named
+        # 'step'/'time'/'prefix'/'epoch' — e.g. mmcv's per-iter 'time' —
+        # must not crash dict() or shadow the bookkeeping fields)
+        rec = dict(scalars)
+        rec.update(step=step, time=time.time(), prefix=prefix)
         if epoch is not None:
             rec["epoch"] = epoch
         self._jsonl.write(json.dumps(rec) + "\n")
