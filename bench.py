@@ -390,6 +390,31 @@ def main():
         "mfu": mfu(fl / dtl),
     }
 
+    # wave-batched long-form (tools/longform_synthesis.py --clip-batch N):
+    # the prev-latent handoff keeps chunks sequential WITHIN a clip, but N
+    # independent clips run each chunk position as ONE batch-N dispatch,
+    # amortizing the per-chunk host->device round trip that dominates the
+    # batch-1 row above
+    cb = 8
+    lfb = synthetic_batch(seed=0, batch=cb, frames=cfg.codec.num_frames,
+                          audio_frames=499)
+
+    def run_longform_batched(rng):
+        out = gen.sample(lfb, rng)
+        for c in range(n_chunks - 1):
+            out = gen(lfb, jax.random.fold_in(rng, c), opts=lf_opts,
+                      prev_latent=out["prev_latentout"])
+        return out["output_latents"]
+
+    jax.block_until_ready(run_longform_batched(r))
+    dtlb = best_of_trials(run_longform_batched, r, trials=3, iters=3)
+    full["configs"][f"longform_{n_chunks}chunk_clipbatch{cb}"] = {
+        "chunks_per_sec": round(cb * n_chunks / dtlb, 3),
+        "motion_secs_per_sec": round(cb * motion_secs / dtlb, 2),
+        "gflops_per_window": round(fl / n_chunks / 1e9, 1),
+        "mfu": mfu(cb * fl / dtlb),
+    }
+
     # training step (BASELINE config 5's training half): device batch 128
     from raggesture_tpu.train.loop import (
         OptimConfig,

@@ -25,15 +25,20 @@ from raggesture_tpu.datasets.joints import POSE_DIM
 
 
 def make_raw_beat2(root, file_ids, n_sec=12, fps30=30, sr=16000):
+    """file_ids entries are (fid, split) or (fid, split, n_sec) — the
+    3-tuple form gives that clip its own duration (ragged-length clips for
+    the wave-batched long-form path)."""
     os.makedirs(os.path.join(root, "smplxflame_30"), exist_ok=True)
     os.makedirs(os.path.join(root, "wave16k"), exist_ok=True)
     os.makedirs(os.path.join(root, "sem"), exist_ok=True)
     os.makedirs(os.path.join(root, "prom"), exist_ok=True)
     os.makedirs(os.path.join(root, "discourse_rels"), exist_ok=True)
     rows = ["id,type"]
-    for i, (fid, typ) in enumerate(file_ids):
+    for i, entry in enumerate(file_ids):
+        fid, typ = entry[0], entry[1]
+        sec = entry[2] if len(entry) > 2 else n_sec
         rows.append(f"{fid},{typ}")
-        T = n_sec * fps30
+        T = sec * fps30
         rng = np.random.RandomState(i)
         np.savez(
             os.path.join(root, "smplxflame_30", fid + ".npz"),
@@ -44,7 +49,7 @@ def make_raw_beat2(root, file_ids, n_sec=12, fps30=30, sr=16000):
         )
         from scipy.io import wavfile
 
-        wave = (rng.randn(n_sec * sr) * 3000).astype(np.int16)
+        wave = (rng.randn(sec * sr) * 3000).astype(np.int16)
         wavfile.write(os.path.join(root, "wave16k", fid + ".wav"), sr, wave)
         with open(os.path.join(root, "sem", fid + ".txt"), "w") as f:
             f.write("beat_align\t0.5\t1.5\t1.0\t0.3\thello\n")

@@ -8,9 +8,12 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+import pytest
+
 from raggesture_tpu.datasets.beatx import StubFeatureExtractor
 from tools.longform_synthesis import (
     chunk_starts,
+    plan_waves,
     refeaturize_chunk,
     slice_chunk,
 )
@@ -45,6 +48,80 @@ def _full_record(T=300, sr=16000):
 
 def test_chunk_starts():
     assert chunk_starts(300, 150, 15) == [0, 135, 270]
+
+
+def test_plan_waves_groups_and_active_sets():
+    """Wave-batching schedule for ragged clip lengths: descending-length
+    sort, groups of clip_batch, per-wave active sets that shrink only at
+    the tail (so padded waves keep one batch shape per group size)."""
+    counts = [2, 5, 3, 1, 4]       # clip i has counts[i] chunks
+    groups = plan_waves(counts, clip_batch=2)
+    # sort by -count: order = [1 (5), 4 (4), 2 (3), 0 (2), 3 (1)]
+    assert [g for g, _ in groups] == [[1, 4], [2, 0], [3]]
+    g0_waves = groups[0][1]
+    assert g0_waves == [[1, 4], [1, 4], [1, 4], [1, 4], [1]]
+    g1_waves = groups[1][1]
+    assert g1_waves == [[2, 0], [2, 0], [2]]
+    assert groups[2][1] == [[3]]
+    # every clip appears in exactly counts[i] waves
+    seen = {i: 0 for i in range(len(counts))}
+    for _, waves in groups:
+        for wave in waves:
+            assert wave, "waves are never empty"
+            for ci in wave:
+                seen[ci] += 1
+    assert seen == {i: c for i, c in enumerate(counts)}
+
+
+def test_plan_waves_batch1_is_sequential():
+    counts = [3, 2]
+    groups = plan_waves(counts, clip_batch=1)
+    assert groups == [([0], [[0], [0], [0]]), ([1], [[1], [1]])]
+
+
+def test_plan_waves_rejects_bad_batch():
+    with pytest.raises(ValueError):
+        plan_waves([1, 2], clip_batch=0)
+
+
+def test_run_group_waves_padding_and_prev_threading():
+    """The wave dispatcher pads tail waves to the group size (one compiled
+    batch shape), threads each clip's prev-latent row from the previous
+    wave, and scatters outputs to the right (clip, chunk)."""
+    from tools.longform_synthesis import run_group_waves
+
+    counts = [3, 1]
+    [(group, waves)] = plan_waves(counts, clip_batch=2)
+    assert group == [0, 1] and waves == [[0, 1], [0], [0]]
+
+    calls = []
+    emitted = []
+
+    def make_chunk(ci, k):
+        return {"clip": ci, "k": k}
+
+    def run_wave(k, chunks_p, prev_rows):
+        calls.append((k, [c["clip"] for c in chunks_p],
+                      None if prev_rows is None else list(prev_rows)))
+        # per-row handoff token identifies (wave, row)
+        prev_out = np.asarray([[k * 10 + i] for i in range(len(chunks_p))])
+        return prev_out, f"payload{k}"
+
+    def on_chunk(ci, k, row, payload):
+        emitted.append((ci, k, row, payload))
+
+    run_group_waves(group, waves, make_chunk, run_wave, on_chunk)
+
+    # wave 0: both clips, no prev; waves 1-2: clip 0 active, padded to B=2
+    assert [c[0] for c in calls] == [0, 1, 2]
+    assert calls[0][1] == [0, 1] and calls[0][2] is None
+    assert calls[1][1] == [0, 0] and calls[2][1] == [0, 0]
+    # wave 1's prev rows are wave 0's row 0 (clip 0), padded by repetition
+    np.testing.assert_array_equal(np.concatenate(calls[1][2]), [[0], [0]])
+    # wave 2's prev rows come from wave 1's row 0
+    np.testing.assert_array_equal(np.concatenate(calls[2][2]), [[10], [10]])
+    assert emitted == [(0, 0, 0, "payload0"), (1, 0, 1, "payload0"),
+                       (0, 1, 0, "payload1"), (0, 2, 0, "payload2")]
 
 
 def test_slice_then_refeaturize():

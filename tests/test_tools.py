@@ -46,6 +46,9 @@ def workspace(tmp_path_factory):
         ("2_scott_0_1_1", "train"),
         ("2_scott_0_2_2", "train"),
         ("2_scott_0_3_3", "test"),
+        # shorter second test clip: ragged chunk counts exercise the
+        # wave-batched long-form path's tail padding (--clip-batch 2)
+        ("2_scott_0_4_4", "test", 6),
     ], n_sec=12)
     return ws, root
 
@@ -134,14 +137,19 @@ print("exported")
         metrics = json.load(f)
     assert "face_l2" in metrics
 
-    # 5. long-form synthesis over the full test clip
+    # 5. long-form synthesis over both full test clips, wave-batched:
+    #    the 12 s and 6 s clips have different chunk counts, so the tail
+    #    waves run padded at the group batch shape (--clip-batch 2)
     lf_dir = os.path.join(ws, "longform")
     run_tool([f"{tools}/longform_synthesis.py", CFG, export,
-              "--out-dir", lf_dir, "--max-clips", "1",
+              "--out-dir", lf_dir, "--max-clips", "2", "--clip-batch", "2",
               "--retrieval-method", "none"] + _opts(ws, root), cwd=REPO)
-    full = glob.glob(os.path.join(lf_dir, "**", "full_pred_motion.npz"),
-                     recursive=True)
-    assert full, "no stitched long-form output"
-    d = np.load(full[0], allow_pickle=True)
-    # 12 s clip @15fps = 180 frames -> 360 @30fps
+    full = {os.path.basename(os.path.dirname(p)): p for p in
+            glob.glob(os.path.join(lf_dir, "**", "full_pred_motion.npz"),
+                      recursive=True)}
+    assert set(full) == {"2_scott_0_3_3", "2_scott_0_4_4"}, full
+    # 12 s clip @15fps = 180 frames -> 360 @30fps; 6 s -> 90 -> 180
+    d = np.load(full["2_scott_0_3_3"], allow_pickle=True)
     assert d["poses"].shape == (360, 165)
+    d = np.load(full["2_scott_0_4_4"], allow_pickle=True)
+    assert d["poses"].shape == (180, 165)

@@ -35,6 +35,16 @@ def parse_args():
     p.add_argument("--guidance-iters", default="decreasing_till_25")
     p.add_argument("--guidance-lr", type=float, default=0.1)
     p.add_argument("--max-clips", type=int, default=10)
+    p.add_argument("--clip-batch", type=int, default=1,
+                   help="synthesize N independent clips as one batched "
+                        "dispatch chain (wave-batching): at chunk position "
+                        "k, all active clips' k-th chunks run as ONE "
+                        "sample/sample_inseq call. The prev-latent handoff "
+                        "serializes chunks WITHIN a clip, so batch-1 "
+                        "long-form pays a full host->device round trip per "
+                        "chunk; batching across clips amortizes it (the "
+                        "reference tool is strictly one clip at a time, "
+                        "longform_synthesis.py:256-403)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--refeaturize-chunks", action=argparse.BooleanOptionalAction,
                    default=True,
@@ -56,6 +66,67 @@ def chunk_starts(n_frames: int, window: int, overlap: int):
     stride = window - overlap
     starts = [0] + list(range(stride, max(n_frames - overlap, 1), stride))
     return starts
+
+
+def plan_waves(chunk_counts, clip_batch: int):
+    """Wave-batching schedule: group clips into batches of ``clip_batch``
+    and, per group, list which clips are active at each chunk position.
+
+    Clips are ordered by DESCENDING chunk count so a group's active set
+    only shrinks at its tail waves; tail waves are padded back up to the
+    group size by the caller (repeating the last active row), so each group
+    runs every wave at ONE batch shape — at most two compiled pipeline
+    shapes per whole run (full groups of ``clip_batch`` + one remainder
+    group), no matter how ragged the clip lengths are.
+
+    Returns ``[(group, waves)]`` where ``group`` is a list of clip indices
+    and ``waves[k]`` is the sub-list of ``group`` that has a k-th chunk
+    (never empty; always a prefix of ``group`` thanks to the sort).
+    """
+    if clip_batch < 1:
+        raise ValueError(f"clip_batch must be >= 1, got {clip_batch}")
+    order = sorted(range(len(chunk_counts)), key=lambda i: -chunk_counts[i])
+    groups = []
+    for g0 in range(0, len(order), clip_batch):
+        group = order[g0:g0 + clip_batch]
+        waves = [[ci for ci in group if k < chunk_counts[ci]]
+                 for k in range(chunk_counts[group[0]])]
+        groups.append((group, waves))
+    return groups
+
+
+def run_group_waves(group, waves, make_chunk, run_wave, on_chunk):
+    """Dispatch one wave-batched group, threading per-clip prev latents.
+
+    Pure orchestration (unit-tested without a model): pads tail waves back
+    to the group size by repeating the last active row, calls ``run_wave``
+    once per chunk position, and scatters each row's output back to its
+    clip.
+
+    - ``make_chunk(ci, k)`` -> host chunk record for clip ``ci``'s k-th
+      chunk (only called for active clips).
+    - ``run_wave(k, chunks_padded, prev_rows)`` -> ``(prev_out, payload)``
+      where ``prev_out`` is row-indexable (``prev_out[i:i+1]`` is clip i's
+      handoff latent) and ``payload`` is passed through to ``on_chunk``.
+      ``prev_rows`` is None for the first wave, else a list of per-row
+      arrays aligned with ``chunks_padded``.
+    - ``on_chunk(ci, k, row, payload)`` consumes clip ``ci``'s output at
+      batch row ``row``.
+    """
+    B = len(group)
+    prev = {ci: None for ci in group}
+    for k, active in enumerate(waves):
+        chunks = [make_chunk(ci, k) for ci in active]
+        pad = B - len(active)
+        chunks_p = chunks + [chunks[-1]] * pad
+        prev_rows = None
+        if k > 0:
+            rows = [prev[ci] for ci in active]
+            prev_rows = rows + [rows[-1]] * pad
+        prev_out, payload = run_wave(k, chunks_p, prev_rows)
+        for bi, ci in enumerate(active):
+            prev[ci] = prev_out[bi:bi + 1]
+            on_chunk(ci, k, bi, payload)
 
 
 def slice_chunk(rec, s: int, e: int, fps: int, audio_sr: int = 16000):
@@ -263,31 +334,61 @@ def main():
     rng = jax.random.PRNGKey(args.seed)
     factor = 30 // fps
 
-    for ci in range(min(len(test_ds), args.max_clips)):
-        rec = test_ds[ci]
-        clip_name = rec["sample_name"].split("/")[0]
-        n_frames = np.asarray(rec["motion"]).shape[0]
-        starts = chunk_starts(n_frames, window, overlap)
-        logger.info("clip %s: %d frames -> %d chunks", clip_name, n_frames,
-                    len(starts))
+    def stitch(state, pose, exps, trans):
+        """Append one chunk to a clip's stitched buffers, cross-fading the
+        15-frame overlap in 6d rotation space (:431-518)."""
+        if state["pose"] is None:
+            state["pose"], state["exps"], state["trans"] = pose, exps, trans
+            return
+        faded = crossfade_pose_aa(state["pose"][-overlap:], pose[:overlap])
+        state["pose"] = np.concatenate(
+            [state["pose"][:-overlap], faded, pose[overlap:]])
+        state["exps"] = np.concatenate(
+            [state["exps"][:-overlap],
+             crossfade_linear(state["exps"][-overlap:], exps[:overlap]),
+             exps[overlap:]])
+        state["trans"] = np.concatenate(
+            [state["trans"][:-overlap],
+             crossfade_linear(state["trans"][-overlap:], trans[:overlap]),
+             trans[overlap:]])
 
-        prev_latent = None
-        stitched_pose = None
-        stitched_exps = None
-        stitched_trans = None
-        clip_dir = os.path.join(args.out_dir, clip_name)
-        os.makedirs(clip_dir, exist_ok=True)
+    n_clips = min(len(test_ds), args.max_clips)
+    plans = []
+    for ci in range(n_clips):
+        n_frames = int(np.asarray(test_ds[ci]["motion"]).shape[0])
+        plans.append(chunk_starts(n_frames, window, overlap))
 
-        for k, s in enumerate(starts):
-            chunk = slice_chunk(rec, s, s + window, fps)
+    for group, waves in plan_waves([len(p) for p in plans],
+                                   args.clip_batch):
+        recs = {ci: test_ds[ci] for ci in group}
+        st = {}
+        for ci in group:
+            name = recs[ci]["sample_name"].split("/")[0]
+            logger.info("clip %s: %d frames -> %d chunks", name,
+                        np.asarray(recs[ci]["motion"]).shape[0],
+                        len(plans[ci]))
+            clip_dir = os.path.join(args.out_dir, name)
+            os.makedirs(clip_dir, exist_ok=True)
+            st[ci] = {"pose": None, "exps": None, "trans": None,
+                      "dir": clip_dir}
+
+        def make_chunk(ci, k):
+            s = plans[ci][k]
+            chunk = slice_chunk(recs[ci], s, s + window, fps)
             if chunk_ext is not None:
                 refeaturize_chunk(chunk, chunk_ext)
-            batch = device_batch(collate([chunk]))
+            return chunk
+
+        def run_wave(k, chunks_p, prev_rows):
+            nonlocal rng
+            batch = device_batch(collate(chunks_p))
             re_dict = None
             if db is not None:
-                hb = host_batch_from_records([chunk])
-                re_dict = db(hb, [chunk["sample_name"]], encode_fn,
-                             method=args.retrieval_method)
+                hb = host_batch_from_records(chunks_p)
+                re_dict = db(hb, [c["sample_name"] for c in chunks_p],
+                             encode_fn, method=args.retrieval_method)
+            prev_latent = (np.concatenate(prev_rows, axis=0)
+                           if prev_rows is not None else None)
             opts = InferenceOptions(
                 use_inversion=args.use_inversion and re_dict is not None,
                 insertion_guidance=args.insertion_guidance
@@ -298,52 +399,44 @@ def main():
             rng, r = jax.random.split(rng)
             out = gen(batch, r, opts=opts, re_dict=re_dict,
                       guidance_iters=gi, prev_latent=prev_latent)
-            prev_latent = out["prev_latentout"]
+            payload = (reassemble_full_pose(out),      # (B, window, 165)
+                       np.asarray(out["pred_exps"]),
+                       np.asarray(out["pred_transl"]))
+            return np.asarray(out["prev_latentout"]), payload
 
-            pose = reassemble_full_pose(out)[0]       # (window, 165)
-            exps = np.asarray(out["pred_exps"])[0]
-            trans = np.asarray(out["pred_transl"])[0]
+        def on_chunk(ci, k, row, payload):
+            poses, exps_all, trans_all = payload
+            pose, exps, trans = poses[row], exps_all[row], trans_all[row]
+            stitch(st[ci], pose, exps, trans)
+            save_smplx_npz(
+                os.path.join(st[ci]["dir"], f"chunk_{k:03d}.npz"),
+                upsample_pose_aa(pose, factor),
+                linear_resample(exps, factor),
+                linear_resample(trans, factor), fps=30)
 
-            if stitched_pose is None:
-                stitched_pose, stitched_exps, stitched_trans = pose, exps, trans
-            else:
-                # cross-fade the overlap in 6d space (:431-518)
-                faded = crossfade_pose_aa(stitched_pose[-overlap:],
-                                          pose[:overlap])
-                stitched_pose = np.concatenate(
-                    [stitched_pose[:-overlap], faded, pose[overlap:]])
-                stitched_exps = np.concatenate(
-                    [stitched_exps[:-overlap],
-                     crossfade_linear(stitched_exps[-overlap:], exps[:overlap]),
-                     exps[overlap:]])
-                stitched_trans = np.concatenate(
-                    [stitched_trans[:-overlap],
-                     crossfade_linear(stitched_trans[-overlap:],
-                                      trans[:overlap]),
-                     trans[overlap:]])
-            save_smplx_npz(os.path.join(clip_dir, f"chunk_{k:03d}.npz"),
-                           upsample_pose_aa(pose, factor),
-                           linear_resample(exps, factor),
-                           linear_resample(trans, factor), fps=30)
+        run_group_waves(group, waves, make_chunk, run_wave, on_chunk)
 
-        stitched_pose = stitched_pose[:n_frames]
-        stitched_exps = stitched_exps[:n_frames]
-        stitched_trans = stitched_trans[:n_frames]
-        save_smplx_npz(os.path.join(clip_dir, "full_pred_motion.npz"),
-                       upsample_pose_aa(stitched_pose, factor),
-                       linear_resample(stitched_exps, factor),
-                       linear_resample(stitched_trans, factor), fps=30)
-        save_smplx_npz(os.path.join(clip_dir, "full_gt_motion.npz"),
-                       upsample_pose_aa(np.asarray(rec["motion"]), factor),
-                       linear_resample(np.asarray(rec["facial"]), factor),
-                       linear_resample(np.asarray(rec["trans"]), factor),
-                       fps=30)
-        raw_audio = np.asarray(rec.get("raw_audio", np.zeros(0)))
-        if raw_audio.size:
-            from scipy.io import wavfile
+        for ci in group:
+            rec, s = recs[ci], st[ci]
+            n_frames = np.asarray(rec["motion"]).shape[0]
+            save_smplx_npz(os.path.join(s["dir"], "full_pred_motion.npz"),
+                           upsample_pose_aa(s["pose"][:n_frames], factor),
+                           linear_resample(s["exps"][:n_frames], factor),
+                           linear_resample(s["trans"][:n_frames], factor),
+                           fps=30)
+            save_smplx_npz(os.path.join(s["dir"], "full_gt_motion.npz"),
+                           upsample_pose_aa(np.asarray(rec["motion"]),
+                                            factor),
+                           linear_resample(np.asarray(rec["facial"]),
+                                           factor),
+                           linear_resample(np.asarray(rec["trans"]), factor),
+                           fps=30)
+            raw_audio = np.asarray(rec.get("raw_audio", np.zeros(0)))
+            if raw_audio.size:
+                from scipy.io import wavfile
 
-            wavfile.write(os.path.join(clip_dir, "gt_audio.wav"), 16000,
-                          (raw_audio * 32767).astype(np.int16))
+                wavfile.write(os.path.join(s["dir"], "gt_audio.wav"), 16000,
+                              (raw_audio * 32767).astype(np.int16))
     logger.info("long-form results in %s", args.out_dir)
 
 
