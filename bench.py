@@ -370,10 +370,10 @@ def main():
     n_chunks = 3
     lf_opts = InferenceOptions(use_prev_latent=True)
 
-    def run_longform(rng):
-        out = gen.sample(batch, rng)
+    def run_longform(rng, b=batch):
+        out = gen.sample(b, rng)
         for c in range(n_chunks - 1):
-            out = gen(batch, jax.random.fold_in(rng, c), opts=lf_opts,
+            out = gen(b, jax.random.fold_in(rng, c), opts=lf_opts,
                       prev_latent=out["prev_latentout"])
         return out["output_latents"]
 
@@ -398,13 +398,7 @@ def main():
     cb = 8
     lfb = synthetic_batch(seed=0, batch=cb, frames=cfg.codec.num_frames,
                           audio_frames=499)
-
-    def run_longform_batched(rng):
-        out = gen.sample(lfb, rng)
-        for c in range(n_chunks - 1):
-            out = gen(lfb, jax.random.fold_in(rng, c), opts=lf_opts,
-                      prev_latent=out["prev_latentout"])
-        return out["output_latents"]
+    run_longform_batched = lambda rng: run_longform(rng, b=lfb)
 
     jax.block_until_ready(run_longform_batched(r))
     dtlb = best_of_trials(run_longform_batched, r, trials=3, iters=3)

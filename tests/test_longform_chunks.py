@@ -79,6 +79,14 @@ def test_plan_waves_batch1_is_sequential():
     assert groups == [([0], [[0], [0], [0]]), ([1], [[1], [1]])]
 
 
+def test_plan_waves_batch1_keeps_dataset_order():
+    """The default --clip-batch 1 path must process clips in dataset
+    order (the reference's sequential protocol), NOT longest-first."""
+    counts = [2, 5, 1]
+    groups = plan_waves(counts, clip_batch=1)
+    assert [g for g, _ in groups] == [[0], [1], [2]]
+
+
 def test_plan_waves_rejects_bad_batch():
     with pytest.raises(ValueError):
         plan_waves([1, 2], clip_batch=0)
@@ -100,9 +108,10 @@ def test_run_group_waves_padding_and_prev_threading():
     def make_chunk(ci, k):
         return {"clip": ci, "k": k}
 
-    def run_wave(k, chunks_p, prev_rows):
+    def run_wave(k, chunks_p, prev_rows, n_active):
         calls.append((k, [c["clip"] for c in chunks_p],
-                      None if prev_rows is None else list(prev_rows)))
+                      None if prev_rows is None else list(prev_rows),
+                      n_active))
         # per-row handoff token identifies (wave, row)
         prev_out = np.asarray([[k * 10 + i] for i in range(len(chunks_p))])
         return prev_out, f"payload{k}"
@@ -116,6 +125,7 @@ def test_run_group_waves_padding_and_prev_threading():
     assert [c[0] for c in calls] == [0, 1, 2]
     assert calls[0][1] == [0, 1] and calls[0][2] is None
     assert calls[1][1] == [0, 0] and calls[2][1] == [0, 0]
+    assert [c[3] for c in calls] == [2, 1, 1]  # n_active per wave
     # wave 1's prev rows are wave 0's row 0 (clip 0), padded by repetition
     np.testing.assert_array_equal(np.concatenate(calls[1][2]), [[0], [0]])
     # wave 2's prev rows come from wave 1's row 0

@@ -85,6 +85,11 @@ def plan_waves(chunk_counts, clip_batch: int):
     """
     if clip_batch < 1:
         raise ValueError(f"clip_batch must be >= 1, got {clip_batch}")
+    if clip_batch == 1:
+        # no padding to optimize away — keep dataset order so the default
+        # path processes clips (and draws rng) in the same sequence as the
+        # reference's strictly sequential protocol
+        return [([i], [[i]] * c) for i, c in enumerate(chunk_counts)]
     order = sorted(range(len(chunk_counts)), key=lambda i: -chunk_counts[i])
     groups = []
     for g0 in range(0, len(order), clip_batch):
@@ -105,11 +110,12 @@ def run_group_waves(group, waves, make_chunk, run_wave, on_chunk):
 
     - ``make_chunk(ci, k)`` -> host chunk record for clip ``ci``'s k-th
       chunk (only called for active clips).
-    - ``run_wave(k, chunks_padded, prev_rows)`` -> ``(prev_out, payload)``
-      where ``prev_out`` is row-indexable (``prev_out[i:i+1]`` is clip i's
-      handoff latent) and ``payload`` is passed through to ``on_chunk``.
-      ``prev_rows`` is None for the first wave, else a list of per-row
-      arrays aligned with ``chunks_padded``.
+    - ``run_wave(k, chunks_padded, prev_rows, n_active)`` ->
+      ``(prev_out, payload)`` where ``prev_out`` is row-indexable
+      (``prev_out[i:i+1]`` is clip i's handoff latent) and ``payload`` is
+      passed through to ``on_chunk``.  ``prev_rows`` is None for the first
+      wave, else a list of per-row arrays aligned with ``chunks_padded``;
+      rows ``>= n_active`` are padding whose outputs are discarded.
     - ``on_chunk(ci, k, row, payload)`` consumes clip ``ci``'s output at
       batch row ``row``.
     """
@@ -123,7 +129,7 @@ def run_group_waves(group, waves, make_chunk, run_wave, on_chunk):
         if k > 0:
             rows = [prev[ci] for ci in active]
             prev_rows = rows + [rows[-1]] * pad
-        prev_out, payload = run_wave(k, chunks_p, prev_rows)
+        prev_out, payload = run_wave(k, chunks_p, prev_rows, len(active))
         for bi, ci in enumerate(active):
             prev[ci] = prev_out[bi:bi + 1]
             on_chunk(ci, k, bi, payload)
@@ -222,8 +228,20 @@ def refeaturize_chunk(chunk, extractor, audio_sr: int = 16000):
 
 def main():
     args = parse_args()
+    if args.clip_batch > 1 and not args.refeaturize_chunks:
+        # proportionally-sliced audio features vary in length per clip;
+        # collate would zero-pad the shorter rows to the wave max and
+        # cross-attention has no per-frame audio mask, so a clip's output
+        # would silently depend on which clips share its wave (and every
+        # distinct per-wave max would recompile the pipeline)
+        raise SystemExit(
+            "--no-refeaturize-chunks is incompatible with --clip-batch > 1:"
+            " per-clip sliced audio feature lengths differ and zero-padded"
+            " frames would condition the shorter clips; use the default"
+            " per-chunk re-extraction (fixed-length chunks) for batching")
 
     import jax
+    import jax.numpy as jnp
 
     from raggesture_tpu.builders import (
         beatx_config_from,
@@ -352,6 +370,9 @@ def main():
              crossfade_linear(state["trans"][-overlap:], trans[:overlap]),
              trans[overlap:]])
 
+    # planning pass reads each record once just for its length (grouping
+    # needs all lengths up front); records are re-read per group below so
+    # at most one group's full clips are resident at a time
     n_clips = min(len(test_ds), args.max_clips)
     plans = []
     for ci in range(n_clips):
@@ -379,15 +400,25 @@ def main():
                 refeaturize_chunk(chunk, chunk_ext)
             return chunk
 
-        def run_wave(k, chunks_p, prev_rows):
+        def run_wave(k, chunks_p, prev_rows, n_active):
             nonlocal rng
             batch = device_batch(collate(chunks_p))
             re_dict = None
             if db is not None:
-                hb = host_batch_from_records(chunks_p)
-                re_dict = db(hb, [c["sample_name"] for c in chunks_p],
+                # retrieve for the ACTIVE rows only: padded duplicate rows
+                # would otherwise inflate Q with exemplar encodes +
+                # 50-step inversions whose outputs are discarded.  Padding
+                # appends at the end, so splice batch_idx values
+                # (0..n_active-1) address the same rows in the padded batch
+                # and pad rows simply run unspliced.
+                act = chunks_p[:n_active]
+                hb = host_batch_from_records(act)
+                re_dict = db(hb, [c["sample_name"] for c in act],
                              encode_fn, method=args.retrieval_method)
-            prev_latent = (np.concatenate(prev_rows, axis=0)
+            # prev rows stay on device (jnp.concatenate of device slices):
+            # a host round trip here would reintroduce the per-chunk
+            # transfer latency wave-batching exists to amortize
+            prev_latent = (jnp.concatenate(prev_rows, axis=0)
                            if prev_rows is not None else None)
             opts = InferenceOptions(
                 use_inversion=args.use_inversion and re_dict is not None,
@@ -402,7 +433,7 @@ def main():
             payload = (reassemble_full_pose(out),      # (B, window, 165)
                        np.asarray(out["pred_exps"]),
                        np.asarray(out["pred_transl"]))
-            return np.asarray(out["prev_latentout"]), payload
+            return out["prev_latentout"], payload
 
         def on_chunk(ci, k, row, payload):
             poses, exps_all, trans_all = payload
