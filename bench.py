@@ -281,8 +281,10 @@ def main():
         "mfu": mfu(fp * clips_per_sec),
     }
 
-    # batch scaling (BASELINE config 1 at serving batch sizes)
-    for B in (8, 32):
+    # batch scaling (BASELINE config 1 at serving batch sizes; 64 is past
+    # the BASELINE list — throughput saturates there, see the roofline
+    # note in docs/PERFORMANCE.md)
+    for B in (8, 32, 64):
         bb = synthetic_batch(seed=0, batch=B, frames=cfg.codec.num_frames,
                              audio_frames=499)
 
