@@ -198,49 +198,57 @@ def compute_auto_framing(vertices: np.ndarray,
                          active_mask: Optional[np.ndarray] = None,
                          cam_y_offset: float = 0.4
                          ) -> Tuple[np.ndarray, float]:
-    """(camera_pose 4x4 cam→world, floor_y) from a vertex sequence
-    (reference compute_auto_framing :302-337: floor just under the lowest
-    active vertex, camera at mid-height + offset, 2 m back, 8° pitch)."""
+    """(camera_pose 4x4 cam→world, floor_y) from a vertex sequence.
+
+    Behavioral constants match the reference renderer (compute_auto_framing
+    :302-337) for pixel parity: floor 2 cm below the lowest active vertex,
+    eye at body mid-height + ``cam_y_offset`` and 2 m behind the centroid,
+    −8° pitch about x. The pose is composed here (R_x(pitch) ∘ translate)
+    rather than written out entrywise.
+    """
+    fv = vertices
     if active_mask is not None and active_mask.any():
         fv = vertices[active_mask]
-    else:
-        fv = vertices
-    floor_y = float(fv[..., 1].min()) - 0.02
-    char_top = float(fv[..., 1].max())
-    cx = float(fv[..., 0].mean())
-    cz = float(fv[..., 2].mean())
-    mid_y = 0.5 * (floor_y + char_top)
+    lo_y, hi_y = float(fv[..., 1].min()), float(fv[..., 1].max())
+    floor_y = lo_y - 0.02
+    eye = np.array([fv[..., 0].mean(),
+                    0.5 * (floor_y + hi_y) + cam_y_offset,
+                    fv[..., 2].mean() + 2.0], np.float64)
     pitch = np.deg2rad(-8.0)
-    c, s = float(np.cos(pitch)), float(np.sin(pitch))
-    pose = np.array([
-        [1.0, 0.0, 0.0, cx],
-        [0.0, c, -s, mid_y + cam_y_offset],
-        [0.0, s, c, cz + 2.0],
-        [0.0, 0.0, 0.0, 1.0],
-    ], np.float32)
+    pose = np.eye(4, dtype=np.float32)
+    pose[1:3, 1:3] = [[np.cos(pitch), -np.sin(pitch)],
+                      [np.sin(pitch), np.cos(pitch)]]
+    pose[:3, 3] = eye
     return pose, floor_y
+
+
+# one quad per tile, fanned into two CCW-up triangles (winding matches the
+# reference floor so back-face culling behaves identically)
+_TILE_CORNER_XZ = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+_TILE_TRIS = np.array([[0, 2, 1], [0, 3, 2]], np.int32)
 
 
 def checkerboard_floor(y: float, length: float = 12.0, tile: float = 1.0,
                        color_a=(170, 170, 170), color_b=(120, 120, 120)
                        ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """(verts (N,3), faces (M,3), face_colors (M,3) uint8) checkerboard in
-    the y plane (reference create_checkerboard_floor :26-68)."""
-    half = length * 0.5
+    """(verts (N,3), faces (M,3), face_colors (M,3) uint8): an n×n
+    checkerboard in the y plane, built as one vectorized lattice pass.
+    Tile size/colors are the reference's (create_checkerboard_floor :26-68).
+    """
     n = max(1, int(length / tile))
-    verts, faces, colors = [], [], []
-    idx = 0
-    for ix in range(n):
-        for iz in range(n):
-            x0, z0 = -half + ix * tile, -half + iz * tile
-            x1, z1 = x0 + tile, z0 + tile
-            verts += [[x0, y, z0], [x1, y, z0], [x1, y, z1], [x0, y, z1]]
-            faces += [[idx, idx + 2, idx + 1], [idx, idx + 3, idx + 2]]
-            c = color_a if (ix + iz) % 2 == 0 else color_b
-            colors += [c, c]
-            idx += 4
-    return (np.asarray(verts, np.float32), np.asarray(faces, np.int32),
-            np.asarray(colors, np.uint8))
+    ij = np.stack(np.meshgrid(np.arange(n), np.arange(n), indexing="ij"),
+                  axis=-1).reshape(-1, 2)                       # (n², 2) tile ids
+    corner_xz = (ij[:, None, :] + _TILE_CORNER_XZ) * tile - length * 0.5
+    verts = np.concatenate(
+        [corner_xz[..., :1],
+         np.full((n * n, 4, 1), y, np.float32),
+         corner_xz[..., 1:]], axis=-1).astype(np.float32).reshape(-1, 3)
+    faces = (np.arange(n * n, dtype=np.int32)[:, None, None] * 4
+             + _TILE_TRIS).reshape(-1, 3)
+    even = (ij.sum(axis=1) % 2 == 0)
+    tile_rgb = np.where(even[:, None], np.asarray(color_a, np.uint8),
+                        np.asarray(color_b, np.uint8))
+    return verts, faces, np.repeat(tile_rgb, 2, axis=0).astype(np.uint8)
 
 
 # ---------------------------------------------------------------------------
