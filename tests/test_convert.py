@@ -255,6 +255,43 @@ class TorchDenoiser(tnn.Module):
         self.temporal_decoder_blocks = tnn.ModuleList(blocks)
 
 
+def torch_denoiser_forward(td, cfg, x, word, audio, spk, t, mask, qm_np):
+    """Reference forward_train semantics (raggesture.py:1018-1038) driven
+    through a TorchDenoiser stand-in's modules, cond_type fixed so the
+    conditions are kept.  Shared by the tiny parity test here and the
+    full-release-shape harness (test_convert_fullsize.py)."""
+    from raggesture_tpu.models.layers import timestep_embedding, sine_position_table
+
+    d = td.joint_embed.in_features
+    n_tok = x.shape[1]
+    B = x.shape[0]
+    with torch.no_grad():
+        emb_in = torch.from_numpy(np.asarray(
+            timestep_embedding(jnp.asarray(t), d)))
+        emb = td.time_embed(emb_in)
+        xf_text = td.text_pre_proj(torch.from_numpy(word))
+        xf_audio = td.audio_pre_proj(torch.from_numpy(audio))
+        xf_spk = td.speaker_embedding(torch.from_numpy(spk)).unsqueeze(1)
+        h = td.joint_embed(torch.from_numpy(x))
+        L = cfg.tokens_per_part
+        pos = np.asarray(sine_position_table(L, d))
+        sep = np.zeros((1, d), np.float32)
+        pos_cat = np.concatenate([pos, sep, pos, sep, pos, sep, pos])[:n_tok]
+        h = h + torch.from_numpy(pos_cat).unsqueeze(0)
+        h = h + td.global_positional_embedding.pe[:n_tok, 0][None]
+        src_mask = torch.from_numpy(mask[..., None])
+        qm_t = torch.from_numpy(qm_np)
+        cond_type = torch.ones(B, 1, 1) * 99  # % 10 > 0 -> conditions kept
+        for blk in td.temporal_decoder_blocks:
+            h = blk.sa_block(h, src_mask, emb)
+            outs = [blk.ca_blocks[n](h, xf, emb, qm_t, cond_type)
+                    for n, xf in (("xf_text", xf_text), ("xf_audio", xf_audio),
+                                  ("xf_spk", xf_spk))]
+            h = blk.ca_mix(torch.cat(outs, dim=-1))
+            h = blk.ffn(h, emb)
+        return td.out(h).numpy()
+
+
 def test_denoiser_conversion_full_parity():
     """Converted denoiser matches a live torch forward to float tolerance."""
     torch.manual_seed(3)
@@ -286,37 +323,11 @@ def test_denoiser_conversion_full_parity():
     mask = np.ones((B, n_tok), np.float32)
     mask[:, list(cfg.sep_indices)] = 0.0
 
-    # torch reference forward (reference forward_train semantics,
-    # raggesture.py:1018-1038, with cond_type fixed to keep conditions)
-    from raggesture_tpu.models.layers import timestep_embedding, sine_position_table
     from tests.test_fused_denoiser import parity_query_masks
 
-    with torch.no_grad():
-        emb_in = torch.from_numpy(np.asarray(
-            timestep_embedding(jnp.asarray(t), D)))
-        emb = td.time_embed(emb_in)
-        xf_text = td.text_pre_proj(torch.from_numpy(word))
-        xf_audio = td.audio_pre_proj(torch.from_numpy(audio))
-        xf_spk = td.speaker_embedding(torch.from_numpy(spk)).unsqueeze(1)
-        h = td.joint_embed(torch.from_numpy(x))
-        L = cfg.tokens_per_part
-        pos = np.asarray(sine_position_table(L, D))
-        sep = np.zeros((1, D), np.float32)
-        pos_cat = np.concatenate([pos, sep, pos, sep, pos, sep, pos])[:n_tok]
-        h = h + torch.from_numpy(pos_cat).unsqueeze(0)
-        h = h + td.global_positional_embedding.pe[:n_tok, 0][None]
-        src_mask = torch.from_numpy(mask[..., None])
-        qm = np.asarray(parity_query_masks(cfg, B)["xf_text"])
-        qm_t = torch.from_numpy(qm)
-        cond_type = torch.ones(B, 1, 1) * 99  # % 10 > 0 -> conditions kept
-        for blk in td.temporal_decoder_blocks:
-            h = blk.sa_block(h, src_mask, emb)
-            outs = [blk.ca_blocks[n](h, xf, emb, qm_t, cond_type)
-                    for n, xf in (("xf_text", xf_text), ("xf_audio", xf_audio),
-                                  ("xf_spk", xf_spk))]
-            h = blk.ca_mix(torch.cat(outs, dim=-1))
-            h = blk.ffn(h, emb)
-        ref = td.out(h).numpy()
+    ref = torch_denoiser_forward(
+        td, cfg, x, word, audio, spk, t, mask,
+        np.asarray(parity_query_masks(cfg, B)["xf_text"]))
 
     conds = den.apply(dn_params, jnp.asarray(word), jnp.asarray(audio),
                       jnp.asarray(spk), method=den.encode_conditions)
