@@ -30,12 +30,12 @@ import numpy as np
 SHARD = 1024
 
 
-def codec_fingerprint(params) -> str:
-    """Order-stable fingerprint of the codec parameter subtree."""
+def tree_fingerprint(tree) -> str:
+    """Order-stable fingerprint of an arbitrary pytree of arrays (path +
+    two reduction scalars per leaf, hashed)."""
     import jax
 
-    leaves = jax.tree_util.tree_leaves_with_path(
-        params["params"]["codec"])
+    leaves = jax.tree_util.tree_leaves_with_path(tree)
     acc = []
     for path, leaf in leaves:
         a = np.asarray(leaf, np.float64)
@@ -45,6 +45,11 @@ def codec_fingerprint(params) -> str:
     import hashlib
 
     return hashlib.sha1(json.dumps(acc).encode()).hexdigest()[:16]
+
+
+def codec_fingerprint(params) -> str:
+    """Order-stable fingerprint of the codec parameter subtree."""
+    return tree_fingerprint(params["params"]["codec"])
 
 
 def build_latent_cache(dataset, model, params, path: str,

@@ -926,6 +926,86 @@ class StagedGenerator:
             self._inv_stack_cache.pop(next(iter(self._inv_stack_cache)))
         return assembled
 
+    def inv_cache_fingerprint(self) -> str:
+        """Identity key for PERSISTED inversion trajectories: the parameter
+        tree plus everything else a trajectory depends on — the test
+        schedule's timestep map, the sampler statics (mean/var type, CFG
+        scale) and the apply path (fused / layer-kernel / merged-CA /
+        bf16-conditions, whose results differ at float ulp level).  Same
+        contract as the retrieval memo's corpus fingerprint
+        (retrieval/database.py — the rebuild of DatabaseSaveHook,
+        /root/reference/mogen/core/model_freeze_hooks.py:48-181)."""
+        import hashlib
+        import json
+
+        from ..datasets.latent_cache import tree_fingerprint
+
+        ident = {
+            "params": tree_fingerprint(self._params),
+            "timestep_map": [int(t) for t in self.sched.timestep_map],
+            "mean_type": str(self._common["mean_type"]),
+            "var_type": str(self._common["var_type"]),
+            "cfg_scale": float(self._common["cfg_scale"]),
+            "path": [bool(self.fused), bool(self.layer_kernel),
+                     bool(self.merged_ca), bool(self.bf16_conditions)],
+        }
+        return hashlib.sha1(
+            json.dumps(ident, sort_keys=True).encode()).hexdigest()[:16]
+
+    def save_inv_cache(self, path: str) -> int:
+        """Persist the per-exemplar inversion cache to ``path`` (one .npz:
+        the (N, S, T, D) trajectory stack + a fingerprinted name manifest),
+        so a serving restart does not re-pay the 50-step inversion of every
+        exemplar it has already seen.  Returns the number of entries
+        written (0 = nothing cached yet, no file touched)."""
+        import json
+        import os
+
+        import numpy as np
+
+        names = list(self._inv_cache)  # insertion order == LRU oldest-first
+        if not names:
+            return 0
+        stack = np.stack([np.asarray(self._inv_cache[n], np.float32)
+                          for n in names])
+        meta = json.dumps({"fingerprint": self.inv_cache_fingerprint(),
+                           "names": names})
+        d = os.path.dirname(path)
+        if d:
+            os.makedirs(d, exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            np.savez(f, stack=stack,
+                     meta=np.frombuffer(meta.encode(), np.uint8))
+        os.replace(tmp, path)
+        return len(names)
+
+    def load_inv_cache(self, path: str) -> int:
+        """Load trajectories persisted by :meth:`save_inv_cache` into the
+        live cache (preserving their LRU order, keeping the most-recent
+        ``inv_cache_capacity``).  A missing file or a fingerprint mismatch
+        (different weights / schedule / apply path) is silently a no-op —
+        the cache is an accelerator, never a correctness input.  Returns
+        the number of entries loaded."""
+        import json
+        import os
+
+        import numpy as np
+
+        if not os.path.exists(path):
+            return 0
+        with np.load(path) as z:
+            meta = json.loads(bytes(z["meta"].tobytes()).decode())
+            if meta.get("fingerprint") != self.inv_cache_fingerprint():
+                return 0
+            stack = np.asarray(z["stack"])
+        keep = meta["names"][max(0, len(meta["names"])
+                                 - self.inv_cache_capacity):]
+        off = len(meta["names"]) - len(keep)
+        for j, n in enumerate(keep):
+            self._inv_cache[n] = jnp.asarray(stack[off + j])
+        return len(keep)
+
     def _cast_conds(self, d):
         """bf16 on the wire for word/audio (see ``bf16_conditions``):
         one shared policy with the train runner (utils/wire.py).  Numpy

@@ -241,6 +241,79 @@ def test_guided_inversion_cache_matches_fused_pipeline():
     assert gen._inv_cache == {}
 
 
+def test_inv_cache_persistence_roundtrip(tmp_path):
+    """save_inv_cache -> fresh StagedGenerator -> load_inv_cache hits the
+    warm path on the FIRST call (no re-inversion after a restart), with
+    bit-identical results; a fingerprint mismatch (different params)
+    ignores the file."""
+    import numpy as np
+
+    from raggesture_tpu.datasets.fixtures import tiny_arch_config, tiny_batch
+    from raggesture_tpu.models.architecture import (
+        InferenceOptions,
+        MotionDiffusionModel,
+        StagedGenerator,
+        guidance_iters_schedule,
+    )
+
+    cfg = tiny_arch_config()
+    model = MotionDiffusionModel(cfg)
+    batch = tiny_batch(batch=2)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "vae": jax.random.PRNGKey(1)},
+        batch)
+    sched = cfg.diffusion_test.schedule()
+    gen = StagedGenerator(model, params, sched, fused=True)
+    z, mask = gen._encode(params, batch)
+    conds_core = {"word": batch["word"], "audio": batch["audio"],
+                  "speaker_ids": batch["speaker_ids"]}
+    splice = jnp.asarray([[0, 0, 0, 1], [1, 1, 1, 1]], jnp.int32)
+    gi = guidance_iters_schedule("constant", sched.num_timesteps)
+    opts = InferenceOptions(use_inversion=True, insertion_guidance=True,
+                            guidance_lr=0.05)
+    r = jax.random.PRNGKey(11)
+    named = {"inv_latents": z, "inv_mask": mask, "inv_conds": conds_core,
+             "splice": splice, "num_queries": 2,
+             "inv_names": ["ex_a", "ex_b"]}
+
+    path = str(tmp_path / "inv_cache.npz")
+    assert gen.save_inv_cache(path) == 0  # empty cache -> no file
+    assert not (tmp_path / "inv_cache.npz").exists()
+
+    warm = gen(batch, r, opts=opts, guidance_iters=gi, re_dict=named)
+    assert gen.save_inv_cache(path) == 2
+
+    # restart: a new generator over the same params loads the entries and
+    # never touches its inversion scan (poisoned)
+    gen2 = StagedGenerator(model, params, sched, fused=True)
+    assert gen2.load_inv_cache(path) == 2
+    assert list(gen2._inv_cache) == ["ex_a", "ex_b"]
+    gen2._invert = None
+    out = gen2(batch, r, opts=opts, guidance_iters=gi, re_dict=named)
+    for k in warm:
+        np.testing.assert_array_equal(np.asarray(warm[k]),
+                                      np.asarray(out[k]))
+
+    # different weights -> fingerprint mismatch -> file ignored
+    params_b = model.init(
+        {"params": jax.random.PRNGKey(7), "vae": jax.random.PRNGKey(8)},
+        batch)
+    gen3 = StagedGenerator(model, params_b, sched, fused=True)
+    assert gen3.load_inv_cache(path) == 0
+    assert gen3._inv_cache == {}
+    # as does a different apply path (trajectories differ at ulp level)
+    gen4 = StagedGenerator(model, params, sched, fused=False)
+    assert gen4.load_inv_cache(path) == 0
+    # missing file: no-op
+    assert gen2.load_inv_cache(str(tmp_path / "nope.npz")) == 0
+
+    # load truncates to capacity, keeping the most-recent entries
+    gen5 = StagedGenerator(model, params, sched, fused=True)
+    gen5.inv_cache_capacity = 1
+    assert gen5.load_inv_cache(path) == 1
+    assert list(gen5._inv_cache) == ["ex_b"]
+
+
 def test_inv_cache_eviction_never_drops_requested_names():
     """At capacity, a miss-triggered eviction must not pop a name the
     CURRENT call also requested (that raised KeyError in the LRU-touch

@@ -34,6 +34,9 @@ def parse_args():
     p.add_argument("--insertion-guidance", action="store_true")
     p.add_argument("--guidance-iters", default="decreasing_till_25")
     p.add_argument("--guidance-lr", type=float, default=0.1)
+    p.add_argument("--inv-cache", default=None, metavar="PATH",
+                   help="persist the exemplar-inversion cache here (.npz): "
+                        "loaded at start, saved at exit")
     p.add_argument("--max-clips", type=int, default=10)
     p.add_argument("--clip-batch", type=int, default=1,
                    help="synthesize N independent clips as one batched "
@@ -340,6 +343,9 @@ def main():
     params = load_params(args.checkpoint, params)
     sched = model.cfg.diffusion_test.schedule()
     gen = StagedGenerator(model, params, sched)
+    if args.inv_cache:
+        logger.info("inversion cache: %d entries loaded from %s",
+                    gen.load_inv_cache(args.inv_cache), args.inv_cache)
     encode_fn = jax.jit(
         lambda b: model.apply(params, b, rng=None, sample=False,
                               method=model.encode_motion))
@@ -468,6 +474,9 @@ def main():
 
                 wavfile.write(os.path.join(s["dir"], "gt_audio.wav"), 16000,
                               (raw_audio * 32767).astype(np.int16))
+    if args.inv_cache:
+        logger.info("inversion cache: %d entries saved to %s",
+                    gen.save_inv_cache(args.inv_cache), args.inv_cache)
     logger.info("long-form results in %s", args.out_dir)
 
 

@@ -40,6 +40,10 @@ def parse_args():
                    help="schedule name (tools/visualize.py:74-95) or "
                         "comma list of ints")
     p.add_argument("--guidance-lr", type=float, default=0.1)
+    p.add_argument("--inv-cache", default=None, metavar="PATH",
+                   help="persist the exemplar-inversion cache here (.npz): "
+                        "loaded at start, saved at exit, so restarts hit "
+                        "warm-path guided throughput from clip 1")
     p.add_argument("--outpaint", action="store_true")
     p.add_argument("--visualize-inversion", action="store_true",
                    help="run the DDIM inversion round-trip self-check and "
@@ -191,6 +195,10 @@ def main():
 
     sched = model.cfg.diffusion_test.schedule()
     gen = StagedGenerator(model, params, sched)
+    if args.inv_cache:
+        n_inv = gen.load_inv_cache(args.inv_cache)
+        logger.info("inversion cache: %d entries loaded from %s",
+                    n_inv, args.inv_cache)
     encode_fn = jax.jit(
         lambda b: model.apply(params, b, rng=None, sample=False,
                               method=model.encode_motion))
@@ -339,6 +347,10 @@ def main():
         for hook in cfg.get("custom_hooks", []):
             if hook.get("type") == "DatabaseSaveHook" and hook.get("save_dir"):
                 db.save_memo(hook["save_dir"])
+    if args.inv_cache:
+        n_inv = gen.save_inv_cache(args.inv_cache)
+        logger.info("inversion cache: %d entries saved to %s",
+                    n_inv, args.inv_cache)
     logger.info("results in %s", args.out_dir)
 
 
