@@ -49,14 +49,57 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def spans_processes(mesh: Mesh) -> bool:
+    """True when the mesh holds devices of more than one process (multi-host
+    DP: each process contributes its own batch shard)."""
+    me = jax.process_index()
+    return any(d.process_index != me for d in mesh.devices.flat)
+
+
+def _put_local(x, sh: NamedSharding, multiprocess: bool):
+    """Place host data onto the mesh under ``sh``.
+
+    Single-process: a plain device_put.  Multi-process: ``x`` is this
+    process's shard of the global batch (the reference DistributedSampler
+    contract — every host loads indices[shard::num_shards]), so the global
+    array is assembled with make_array_from_process_local_data; a device_put
+    would wrongly treat the local shard as the whole global value (and
+    raises for shardings that span non-addressable devices)."""
+    if multiprocess:
+        return jax.make_array_from_process_local_data(sh, np.asarray(x))
+    return jax.device_put(x, sh)
+
+
 def shard_batch(batch, mesh: Mesh, axis_name: str = DATA_AXIS):
-    """Place a host batch dict onto the mesh, sharded along the batch dim."""
+    """Place a host batch (dict or array) onto the mesh, sharded along the
+    batch dim; in multi-process runs each host contributes its loader shard."""
     sh = batch_sharding(mesh, axis_name)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+    mp = spans_processes(mesh)
+    return jax.tree_util.tree_map(lambda x: _put_local(x, sh, mp), batch)
+
+
+def put_stacked_batch(stacked, mesh: Mesh, axis_name: str = DATA_AXIS):
+    """Place a (k, batch, ...) multi-step stack onto the mesh: scan axis
+    replicated, batch dim sharded (multi-process aware like shard_batch)."""
+    sh = stacked_batch_sharding(mesh, axis_name)
+    mp = spans_processes(mesh)
+    return jax.tree_util.tree_map(lambda x: _put_local(x, sh, mp), stacked)
 
 
 def replicate_tree(tree, mesh: Mesh):
+    """Replicate a host tree onto every device of the mesh.
+
+    Multi-process: device_put cannot target non-addressable devices, so the
+    global replicated array is assembled from each process's (identical)
+    full copy via make_array_from_process_local_data — the hosts hold the
+    same value (same seed / same checkpoint), matching the reference's DDP
+    assumption of identical initial replicas."""
     rep = replicated(mesh)
+    mp = spans_processes(mesh)
+    if mp:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                rep, np.asarray(x)), tree)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), tree)
 
 

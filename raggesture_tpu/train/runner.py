@@ -28,8 +28,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..parallel.mesh import make_mesh, replicate_tree, replicated, shard_batch
-from ..utils.logger import MetricWriter, get_root_logger
+from ..parallel.mesh import (
+    make_mesh,
+    put_stacked_batch,
+    replicate_tree,
+    shard_batch,
+)
+from ..utils.logger import MetricWriter, NullWriter, get_root_logger
 from .checkpoint import CheckpointManager
 from .loop import (
     OptimConfig,
@@ -94,8 +99,14 @@ def train_model(
 ) -> TrainState:
     """Run the epoch loop; returns the final TrainState (host-fetched)."""
     logger = get_root_logger()
-    writer = MetricWriter(workdir, interval=log_interval,
-                          tensorboard=tensorboard)
+    # host-side artifacts (metrics.jsonl, TensorBoard, retrieval memo JSONs)
+    # are rank-0-only in multi-process runs — every process sees identical
+    # replicated metrics, and concurrent writers would tear the files
+    # (reference: mmcv logger hooks run on rank 0, mogen/apis/train.py:84-96)
+    is_main = jax.process_index() == 0
+    writer = (MetricWriter(workdir, interval=log_interval,
+                           tensorboard=tensorboard)
+              if is_main else NullWriter())
     mesh = mesh or make_mesh()
     n_dev = mesh.devices.size
     logger.info("training on %d device(s), %d steps/epoch, %d epochs",
@@ -162,7 +173,11 @@ def train_model(
 
         t_sampler = build_sampler(schedule_sampler,
                                   sched_train.num_timesteps)
-        t_rng = np.random.RandomState(seed + 17)
+        # each process draws timesteps for ITS batch shard only; decorrelate
+        # the hosts' draws (the importance weights stay identical because
+        # the synced resampler all-gathers every host's losses)
+        t_rng = np.random.RandomState(seed + 17
+                                      + 1000003 * jax.process_index())
     step_fn = jit_train_step(
         make_train_step(model, tx, sched_train,
                         bf16_compute=optim_cfg.bf16_compute,
@@ -174,21 +189,19 @@ def train_model(
     # round trip per step, so they stay on the single-step path.
     multi_fn = None
     if multi_step > 1 and t_sampler is None:
-        from ..parallel.mesh import stacked_batch_sharding
         from .loop import jit_multi_train_step, make_multi_train_step
 
         multi_fn = jit_multi_train_step(
             make_multi_train_step(model, tx, sched_train,
                                   bf16_compute=optim_cfg.bf16_compute),
             mesh)
-        stacked_sh = stacked_batch_sharding(mesh)
     val_fn = None
     if val_loader is not None:
         from .loop import jit_val_step, make_val_step
 
         val_fn = jit_val_step(make_val_step(model, sched_train), mesh)
     state = replicate_tree(state, mesh)
-    rng = jax.device_put(jax.random.PRNGKey(seed), replicated(mesh))
+    rng = replicate_tree(jax.random.PRNGKey(seed), mesh)
 
     # host-side step counter: fetching state.step every iteration would
     # synchronize the host with the device per step, defeating async
@@ -202,23 +215,36 @@ def train_model(
             n_batches = 0
             mbuf = []
 
+            # logs are device futures tied to their step's completion —
+            # fetching them immediately after dispatch stalls the host on
+            # the running step and serializes compute with the next batch's
+            # staging.  Defer each interval's fetch to the NEXT log event
+            # (by then its step has finished), keeping the host one
+            # dispatch ahead (device-side double buffering).
+            pending_logs = []
+
+            def flush_logs():
+                while pending_logs:
+                    step_no, lg = pending_logs.pop(0)
+                    # multi-step logs carry a leading (k,) axis — log means
+                    host_logs = {key: float(np.mean(np.asarray(v)))
+                                 for key, v in lg.items()}
+                    host_logs["epoch_time"] = time.time() - t_epoch
+                    writer.write(step_no, host_logs, epoch=epoch,
+                                 force=True)
+
             def log_step(logs, k=1):
                 nonlocal n_batches, global_step
                 n_batches += k
                 prev = global_step
                 global_step += k
+                flush_logs()  # the previous interval's step is done by now
                 if (global_step // log_interval != prev // log_interval
                         or n_batches == k):
-                    # device values are fetched only when actually logging;
-                    # multi-step logs carry a leading (k,) axis — log means.
-                    # force=True: THIS interval-crossing check is the
-                    # cadence — the writer's own step%interval gate would
-                    # drop most lines when steps advance by k > 1
-                    host_logs = {key: float(np.mean(np.asarray(v)))
-                                 for key, v in logs.items()}
-                    host_logs["epoch_time"] = time.time() - t_epoch
-                    writer.write(global_step, host_logs, epoch=epoch,
-                                 force=True)
+                    # force=True (at flush): THIS interval-crossing check is
+                    # the cadence — the writer's own step%interval gate
+                    # would drop most lines when steps advance by k > 1
+                    pending_logs.append((global_step, logs))
 
             def flush_mbuf():
                 nonlocal state
@@ -229,16 +255,27 @@ def train_model(
 
             for batch in train_loader:
                 if t_sampler is not None:
-                    db = shard_batch(dbatch(batch), mesh)
-                    B = next(iter(db.values())).shape[0]
-                    t_np, w_np = t_sampler.sample_np(t_rng, B)
+                    # the loader batch is this process's shard; t/w are drawn
+                    # per local row and assembled into the global arrays by
+                    # shard_batch (multi-process aware)
+                    hb = dbatch(batch)
+                    B_local = next(iter(hb.values())).shape[0]
+                    db = shard_batch(hb, mesh)
+                    t_np, w_np = t_sampler.sample_np(t_rng, B_local)
                     state, logs = step_fn(
                         state, db, rng,
                         shard_batch(jnp.asarray(t_np), mesh),
                         shard_batch(jnp.asarray(w_np), mesh))
                     if hasattr(t_sampler, "update_with_losses"):
-                        t_sampler.update_with_losses(
-                            t_np, np.asarray(logs.pop("per_sample_loss")))
+                        # fetch only this host's rows (a global array is not
+                        # fully addressable multi-process); the resampler's
+                        # synced gather re-assembles the global pairs
+                        psl = logs.pop("per_sample_loss")
+                        shards = sorted(psl.addressable_shards,
+                                        key=lambda s: s.index[0].start or 0)
+                        local_losses = np.concatenate(
+                            [np.asarray(s.data) for s in shards])
+                        t_sampler.update_with_losses(t_np, local_losses)
                         logs.pop("t", None)
                     log_step(logs)
                 elif multi_fn is not None:
@@ -253,8 +290,7 @@ def train_model(
                     stacked = {k2: np.stack([b[k2] for b in mbuf])
                                for k2 in mbuf[0]}
                     mbuf.clear()
-                    sb = jax.tree_util.tree_map(
-                        lambda x: jax.device_put(x, stacked_sh), stacked)
+                    sb = put_stacked_batch(stacked, mesh)
                     state, logs = multi_fn(state, sb, rng)
                     log_step(logs, k=multi_step)
                 else:
@@ -262,6 +298,7 @@ def train_model(
                     state, logs = step_fn(state, db, rng)
                     log_step(logs)
             flush_mbuf()  # epoch tail shorter than multi_step
+            flush_logs()  # drain the deferred interval before val/ckpt rows
             if val_fn is not None and (epoch + 1) % val_interval == 0:
                 # validation pass (reference val workflow / val_step)
                 val_logs = []
@@ -280,8 +317,8 @@ def train_model(
                            for k in val_logs[0]}
                     writer.write(global_step, agg, prefix="val",
                                  epoch=epoch, force=True)
-            if retrieval_db is not None and retrieval_save_dir and \
-                    epoch == start_epoch:
+            if retrieval_db is not None and retrieval_save_dir and is_main \
+                    and epoch == start_epoch:
                 # reference DatabaseSaveHook: persist memoization after the
                 # first train epoch (model_freeze_hooks.py:102-140)
                 retrieval_db.save_memo(retrieval_save_dir)

@@ -45,6 +45,17 @@ def get_root_logger(log_file: Optional[str] = None,
     return logger
 
 
+class NullWriter:
+    """Drop-in MetricWriter that writes nothing — non-zero ranks in
+    multi-process training (metrics are replicated; only rank 0 persists)."""
+
+    def write(self, *args, **kwargs):
+        pass
+
+    def close(self):
+        pass
+
+
 class MetricWriter:
     """Scalar metrics → text log (every ``interval`` steps), metrics.jsonl,
     and TensorBoard (``<workdir>/tf_logs``) when the package is present."""

@@ -1,0 +1,256 @@
+"""Multi-process data-parallel training smoke test.
+
+The reference's DDP path ran in production via SLURM launchers
+(/root/reference/tools/train.py:96-102, mogen/apis/train.py:84-96:
+init_dist + MMDistributedDataParallel + DistributedSampler).  The rebuild's
+equivalent — ``tools/train.py --distributed`` → ``jax.distributed
+.initialize()``, process-sharded ``EpochSampler``, a global-device ``Mesh``
+with per-process batch shards assembled via
+``jax.make_array_from_process_local_data``, orbax multihost checkpointing —
+is exercised here for real: TWO local processes (4 virtual CPU devices
+each, Gloo collectives) train the tiny config for 2 epochs through the
+actual CLI, and the run must match a single-process 8-device run: step 1
+BIT-FOR-BIT (same global batch order, same initial replicas, correct
+gradient psum), later steps and the final checkpointed TrainState to tight
+tolerances — after the first parameter update exact bitness across
+topologies is unattainable, because the cross-host all-reduce decomposes
+the fp summation differently than the single-host 8-device ring (the
+reference's DDP on 2 nodes is likewise not bit-equal to 1 node).
+
+Bit-for-bit needs the same global batch order: the 2-process loaders see
+``indices[shard::2]``, and the global array layout is [process 0's shard |
+process 1's shard], so the baseline feeds the same interleaved order
+through a stitched loader.  The baseline runs as a subprocess too, so both
+sides share the exact backend configuration (the in-test process forces
+matmul precision that tools don't)."""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from tests.test_dataset_build import make_raw_beat2
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CFG = os.path.join(REPO, "configs/raggesture_beatx/tiny_smoke.py")
+
+pytestmark = pytest.mark.slow
+
+
+def _opts(ws, root):
+    return [
+        f"data.train.data_path={root}",
+        f"data.val.data_path={root}",
+        f"data.test.data_path={root}",
+        f"data.train.cache_path={ws}/cache",
+        f"data.val.cache_path={ws}/cache",
+        f"data.test.cache_path={ws}/cache",
+        "data.train.allow_fake_contacts=True",
+        "data.val.allow_fake_contacts=True",
+        "data.test.allow_fake_contacts=True",
+        f"model.model.retrieval_cfg.cache_path={ws}/retr_cache",
+    ]
+
+
+def _env(n_devices):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={n_devices}"
+    env["JAX_COMPILATION_CACHE_DIR"] = os.path.join(REPO, ".jax_cache")
+    env["HF_HUB_OFFLINE"] = "1"
+    env["TRANSFORMERS_OFFLINE"] = "1"
+    return env
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+# Baseline driver: single process, 8 devices, the SAME global batch order
+# the 2-process run produces ([shard-0 half | shard-1 half] per step).
+BASELINE_DRIVER = r'''
+import os, sys
+sys.path.insert(0, sys.argv[1])
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+
+ws, root, init_params_path, workdir = sys.argv[2:6]
+from raggesture_tpu.builders import (beatx_config_from, build_architecture,
+                                     optim_config_from)
+from raggesture_tpu.config import Config
+from raggesture_tpu.datasets.build import build_dataset, cache_exists, \
+    make_default_extractor
+from raggesture_tpu.datasets.sampler import build_dataloader
+from raggesture_tpu.models.architecture import init_params
+from raggesture_tpu.train.checkpoint import save_params
+from raggesture_tpu.train.runner import (DEVICE_BATCH_KEYS, device_batch,
+                                         train_model)
+from raggesture_tpu.utils.env import setup_compilation_cache
+
+setup_compilation_cache()
+cfg = Config.fromfile(sys.argv[6])
+cfg.merge_option_strings(sys.argv[7:])
+dcfg = beatx_config_from(cfg.data.train)
+extractor = None if cache_exists(dcfg) else make_default_extractor()
+ds = build_dataset(dcfg, extractor)
+model = build_architecture(cfg.model)
+
+shards = [build_dataloader(ds, 1, 4, num_shards=2, shard=i, seed=0)
+          for i in range(2)]
+
+
+class Stitched:
+    """Global batches in multi-process device order (p0 rows | p1 rows)."""
+
+    def set_epoch(self, e):
+        for s in shards:
+            s.set_epoch(e)
+
+    def __len__(self):
+        return len(shards[0])
+
+    def __iter__(self):
+        for b0, b1 in zip(*shards):
+            yield {k: np.concatenate([b0[k], b1[k]])
+                   for k in DEVICE_BATCH_KEYS if k in b0}
+
+
+loader = Stitched()
+first = next(iter(loader))
+params = init_params(model, jax.random.PRNGKey(0),
+                     {k: v[:1] for k, v in device_batch(first).items()})
+save_params(init_params_path, params)
+
+total_steps = len(loader) * 2
+state = train_model(model, loader, optim_config_from(cfg, total_steps),
+                    params=params, max_epochs=2, workdir=workdir,
+                    checkpoint_interval=1, log_interval=1,
+                    tensorboard=False, seed=0)
+print("baseline done at step", int(state.step))
+'''
+
+
+def _train_rows(workdir):
+    rows = {}
+    with open(os.path.join(workdir, "metrics.jsonl")) as f:
+        for line in f:
+            rec = json.loads(line)
+            if rec.get("prefix") == "train":
+                rows[rec["step"]] = rec
+    return rows
+
+
+def test_two_process_distributed_matches_single_process(tmp_path):
+    ws = str(tmp_path)
+    root = os.path.join(ws, "beat2")
+    make_raw_beat2(root, [("2_scott_0_1_1", "train"),
+                          ("2_scott_0_2_2", "train"),
+                          ("2_scott_0_3_3", "test")], n_sec=12)
+    opts = _opts(ws, root)
+    init_params_path = os.path.join(ws, "init_params")
+    base_work = os.path.join(ws, "base_work")
+    dist_work = os.path.join(ws, "dist_work")
+
+    # 1. single-process 8-device baseline (also builds the dataset cache and
+    #    exports the shared init params)
+    driver = os.path.join(ws, "baseline_driver.py")
+    with open(driver, "w") as f:
+        f.write(BASELINE_DRIVER)
+    proc = subprocess.run(
+        [sys.executable, driver, REPO, ws, root, init_params_path,
+         base_work, CFG] + opts,
+        env=_env(8), cwd=REPO, capture_output=True, text=True, timeout=1200)
+    assert proc.returncode == 0, \
+        f"baseline failed:\n{proc.stdout[-3000:]}\n{proc.stderr[-3000:]}"
+
+    # 2. the real CLI, two processes, 4 virtual devices each
+    port = _free_port()
+    procs = []
+    for rank in range(2):
+        procs.append(subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "tools", "train.py"), CFG,
+             "--work-dir", dist_work, "--device-batch-size", "1",
+             "--seed", "0", "--no-validate", "--load-from", init_params_path,
+             "--distributed", "--coordinator", f"localhost:{port}",
+             "--num-processes", "2", "--process-id", str(rank),
+             "--options"] + opts,
+            env=_env(4), cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+    outs = [p.communicate(timeout=1200)[0] for p in procs]
+    for rank, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, \
+            f"distributed rank {rank} failed:\n{out[-4000:]}"
+
+    # 3. step-1 losses bit-for-bit (proves global batch order, initial
+    #    replica equality, and the gradient psum); later steps loosely —
+    #    the ~1-ulp cross-host reduce difference is amplified ~100x per
+    #    forward pass by the chaotic random-init denoiser (grad_norm is the
+    #    most curvature-sensitive: 0.6% by step 3 in practice)
+    base = _train_rows(base_work)
+    dist = _train_rows(dist_work)
+    assert set(base) == set(dist) and len(base) == 4
+    steps_sorted = sorted(base)
+    for i, step in enumerate(steps_sorted):
+        # grad_norm is the most curvature-sensitive quantity (~10x per step:
+        # 1e-5 at step 2, 0.6% at 3, 7% at 4) — only meaningful early;
+        # the losses stay comparable and prove epoch-2 batch ordering
+        keys = (("recon_loss", "mse_unweighted", "grad_norm") if i < 2
+                else ("recon_loss", "mse_unweighted"))
+        for key in keys:
+            a, b = base[step][key], dist[step][key]
+            if i == 0:
+                assert a == b, f"step {step} {key}: {a} != {b}"
+            else:
+                tol = 1e-4 if i == 1 else 5e-2
+                assert np.isclose(a, b, rtol=tol, atol=1e-6), (
+                    f"step {step} {key}: {a} != {b}")
+
+    # 4. final checkpointed TrainState after 4 data-parallel steps: same
+    #    structure and step, params close (they move ~warmup-lr per step, so
+    #    chaos-amplified gradient noise stays small in absolute terms; adam
+    #    moments inherit the full step-4 gradient divergence and are only
+    #    structure-checked); also proves the 2-process orbax save is
+    #    restorable from a plain single-process reader
+    import jax
+
+    from raggesture_tpu.builders import build_architecture, optim_config_from
+    from raggesture_tpu.config import Config
+    from raggesture_tpu.train.checkpoint import CheckpointManager, load_params
+    from raggesture_tpu.train.loop import create_train_state
+
+    cfg = Config.fromfile(CFG)
+    cfg.merge_option_strings(opts)
+    model = build_architecture(cfg.model)
+    params = load_params(init_params_path)
+    state_like, _ = create_train_state(model, params,
+                                       optim_config_from(cfg, 4))
+    restored = []
+    for workdir in (base_work, dist_work):
+        mgr = CheckpointManager(workdir, interval=1)
+        assert mgr.latest_epoch() == 1
+        state, meta = mgr.restore(state_like)
+        assert meta["epoch"] == 1
+        restored.append(state)
+    assert int(restored[0].step) == int(restored[1].step) == 4
+    ta = jax.tree_util.tree_structure(restored[0])
+    tb = jax.tree_util.tree_structure(restored[1])
+    assert ta == tb
+    pa = jax.tree_util.tree_leaves(restored[0].params)
+    pb = jax.tree_util.tree_leaves(restored[1].params)
+    for a, b in zip(pa, pb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0.1, atol=1e-3)
+
+    # 5. rank-0-only host artifacts: metrics.jsonl lines are whole (no torn
+    #    concurrent writes) and the dumped config parses
+    with open(os.path.join(dist_work, "metrics.jsonl")) as f:
+        for line in f:
+            json.loads(line)
+    assert os.path.exists(os.path.join(dist_work, "config.py"))

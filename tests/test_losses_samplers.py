@@ -129,6 +129,59 @@ def test_sampler_wiring_in_train_step():
     assert sampler._loss_counts.sum() == 6
 
 
+def test_loss_resampler_synced_multihost_gating():
+    """Synced resampling (the reference's all_gather of per-rank losses,
+    gaussian_diffusion.py:85-106): two hosts applying the gathered global
+    pairs produce bit-identical histories, weights, and — critically — the
+    same warm-up gate step as a single host seeing the whole batch, whereas
+    unsynced hosts warm up at different steps."""
+    T, H = 6, 3
+    rs = np.random.RandomState(0)
+    # 8 steps of per-host (t, loss) shards, 4 rows each
+    steps = [[(rs.randint(0, T, 4), rs.rand(4) + 0.05) for _ in range(2)]
+             for _ in range(8)]
+
+    def gather(step):
+        ts = np.concatenate([steps[step][h][0] for h in range(2)])
+        ls = np.concatenate([steps[step][h][1] for h in range(2)])
+        return ts, ls
+
+    hosts = [LossSecondMomentResampler(T, history_per_term=H, synced=True)
+             for _ in range(2)]
+    single = LossSecondMomentResampler(T, history_per_term=H, synced=False)
+    unsynced = [LossSecondMomentResampler(T, history_per_term=H,
+                                          synced=False) for _ in range(2)]
+    gate_mismatch = False
+    for i in range(len(steps)):
+        for h in range(2):
+            hosts[h]._gather = lambda ts, ls, i=i: gather(i)
+            hosts[h].update_with_losses(*steps[i][h])
+            unsynced[h].update_with_losses(*steps[i][h])
+        single.update_with_losses(*gather(i))
+        # synced hosts agree with each other AND with the single-host view
+        assert hosts[0]._warmed_up() == hosts[1]._warmed_up() \
+            == single._warmed_up()
+        np.testing.assert_array_equal(hosts[0]._loss_history,
+                                      hosts[1]._loss_history)
+        np.testing.assert_array_equal(hosts[0]._loss_history,
+                                      single._loss_history)
+        np.testing.assert_array_equal(hosts[0].weights(), single.weights())
+        gate_mismatch |= (unsynced[0]._warmed_up()
+                          != unsynced[1]._warmed_up())
+    assert single._warmed_up()  # 64 draws over 6*3 slots: warm by the end
+    assert gate_mismatch, "unsynced hosts should gate at different steps"
+
+
+def test_multihost_gather_single_process_identity():
+    from raggesture_tpu.diffusion.samplers import _multihost_gather
+
+    ts = np.array([1, 2, 3], np.int32)
+    ls = np.array([0.1, 0.2, 0.3])
+    gt, gl = _multihost_gather(ts, ls)
+    np.testing.assert_array_equal(gt, ts)
+    np.testing.assert_array_equal(gl, ls)
+
+
 def test_sample_np_matches_weights():
     s = LossSecondMomentResampler(10, history_per_term=2)
     for _ in range(2):

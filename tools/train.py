@@ -34,6 +34,16 @@ def parse_args():
                    help="config overrides: key.subkey=value")
     p.add_argument("--distributed", action="store_true",
                    help="multi-host: call jax.distributed.initialize()")
+    p.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                   help="with --distributed: coordinator address (default: "
+                        "auto-detect from the cluster env, e.g. SLURM — the "
+                        "reference's init_dist launcher contract)")
+    p.add_argument("--num-processes", type=int, default=None,
+                   help="with --distributed: total process count (default: "
+                        "auto-detect)")
+    p.add_argument("--process-id", type=int, default=None,
+                   help="with --distributed: this process's rank (default: "
+                        "auto-detect)")
     p.add_argument("--no-validate", action="store_true")
     p.add_argument("--device-batch-size", type=int, default=None,
                    help="override data.samples_per_device")
@@ -68,7 +78,9 @@ def main():
     import jax
 
     if args.distributed:
-        jax.distributed.initialize()
+        jax.distributed.initialize(coordinator_address=args.coordinator,
+                                   num_processes=args.num_processes,
+                                   process_id=args.process_id)
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
 
@@ -96,10 +108,15 @@ def main():
     workdir = args.work_dir or os.path.join(
         "work_dirs", os.path.splitext(os.path.basename(args.config))[0])
     os.makedirs(workdir, exist_ok=True)
-    cfg.dump(os.path.join(workdir, "config.py"))
+    # host-side workdir artifacts are rank-0-only (concurrent writers on a
+    # shared workdir would tear them; reference logs/dumps on rank 0)
+    is_main = jax.process_index() == 0
+    if is_main:
+        cfg.dump(os.path.join(workdir, "config.py"))
 
     timestamp = time.strftime("%Y%m%d_%H%M%S", time.localtime())
-    logger = get_root_logger(os.path.join(workdir, f"{timestamp}.log"))
+    logger = get_root_logger(
+        os.path.join(workdir, f"{timestamp}.log") if is_main else None)
     for k, v in collect_env().items():
         logger.info("env: %s = %s", k, v)
     logger.info("config: %s", args.config)
