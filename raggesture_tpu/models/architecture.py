@@ -506,7 +506,8 @@ class StagedGenerator:
     def __init__(self, model: MotionDiffusionModel, params,
                  sched_test: DiffusionSchedule, fused: bool = False,
                  merged_ca: bool = False, layer_kernel: bool = True,
-                 bf16_conditions: Optional[bool] = None):
+                 bf16_conditions: Optional[bool] = None,
+                 fused_codec: Optional[bool] = None):
         """``fused=True`` routes every denoiser call through the performance
         apply-path (models/fused_denoiser.py: Pallas self-attention kernel +
         stacked adaLN) — numerically equivalent, inference-only.
@@ -521,6 +522,10 @@ class StagedGenerator:
         self.sched = sched_test
         self.fused = fused
         self.merged_ca = merged_ca
+        # fused (stacked 3-part) codec decode in the pipeline tail — the
+        # measured serving-tail lever (models/fused_codec.py).  Defaults to
+        # the fused perf path's setting; numerics are exact either way.
+        self.fused_codec = fused if fused_codec is None else fused_codec
         # exemplar-inversion cache: the 50-step DDIM inversion of an
         # exemplar depends only on (params, exemplar latents, its own
         # conditions) — and memoized retrieval returns the SAME exemplars
@@ -775,10 +780,19 @@ class StagedGenerator:
                                       js, mixed=True, pro=pro)
             return model_fn, noise, r_loop
 
-        def pipeline_results(p, out):
+        def pipeline_results(p, out, cstack):
             """Shared pipeline tail: 4-part VAE decode + the uniform return
-            contract (same keys for every option combination)."""
-            decoded = model.apply(p, out, method=model.decode_latents)
+            contract (same keys for every option combination).  ``cstack``
+            (the stacked 3-part codec tree, parameter-only — built once per
+            generator like ``pro``) routes the decode through the fused
+            2-program path; None falls back to 4 per-part passes."""
+            if cstack is not None:
+                from .fused_codec import fused_decode
+
+                decoded = fused_decode(cfg.codec, p["params"]["codec"],
+                                       cstack, out)
+            else:
+                decoded = model.apply(p, out, method=model.decode_latents)
             results = {f"pred_{k}": v for k, v in decoded.items()}
             results["prev_latentout"] = out
             results["output_latents"] = out
@@ -796,7 +810,7 @@ class StagedGenerator:
                 mf_inv, sched_test, inv_lat, return_all_timesteps=True,
                 **self._common)
 
-        def sample_pipeline(p, batch, rng, pro):
+        def sample_pipeline(p, batch, rng, pro, cstack):
             """Plain DDIM generation as ONE program: condition encoders ->
             scale-func table + start noise -> 50-step sampling scan -> 4-part
             VAE decode.
@@ -809,22 +823,23 @@ class StagedGenerator:
             model_fn, noise, r_loop = pipeline_prologue(p, batch, rng, pro)
             out = S.ddim_sample_loop(model_fn, sched_test, noise, r_loop,
                                      **self._common)
-            return pipeline_results(p, out)
+            return pipeline_results(p, out, cstack)
 
         self._sample_pipeline = jax.jit(sample_pipeline)
 
-        def sample_inseq_pipeline(p, batch, rng, in_seq, pro):
+        def sample_inseq_pipeline(p, batch, rng, in_seq, pro, cstack):
             """sample_pipeline with the in_seq q-sample overwrite (outpaint
             / prev-latent long-form handoff) — one dispatch per chunk."""
             model_fn, noise, r_loop = pipeline_prologue(p, batch, rng, pro)
             out = S.ddim_sample_loop(model_fn, sched_test, noise, r_loop,
                                      in_seq=in_seq, **self._common)
-            return pipeline_results(p, out)
+            return pipeline_results(p, out, cstack)
 
         self._sample_inseq_pipeline = jax.jit(sample_inseq_pipeline)
 
         def guided_pipeline(p, core, inv_lat, inv_mask, inv_core, gather,
-                            smask, gi, lr, rng, pro, inversion_start_time):
+                            smask, gi, lr, rng, pro, cstack,
+                            inversion_start_time):
             """Inversion + splice + insertion-guided DDIM + decode as ONE
             program (the common retrieval-guided configuration: no
             outpaint / prev-latent).  The staged path pays ~7 host->device
@@ -839,13 +854,14 @@ class StagedGenerator:
                 inverted_latents=inv_all, guidance_iters=gi,
                 guidance_lr=lr, init_in_seq=jnp.zeros_like(start_noise),
                 **self._common)
-            return pipeline_results(p, out)
+            return pipeline_results(p, out, cstack)
 
         self._guided_pipeline = jax.jit(
             guided_pipeline, static_argnames=("inversion_start_time",))
 
         def guided_pipeline_cached(p, core, inv_stack, gather, smask, gi,
-                                   lr, rng, pro, inversion_start_time):
+                                   lr, rng, pro, cstack,
+                                   inversion_start_time):
             """guided_pipeline with the exemplar-inversion scan REMOVED:
             ``inv_stack`` (S, Q, T, D) arrives precomputed (from the
             per-exemplar inversion cache).  At full cache hit the guided
@@ -859,7 +875,7 @@ class StagedGenerator:
                 inverted_latents=inv_all, guidance_iters=gi,
                 guidance_lr=lr, init_in_seq=jnp.zeros_like(start_noise),
                 **self._common)
-            return pipeline_results(p, out)
+            return pipeline_results(p, out, cstack)
 
         self._guided_pipeline_cached = jax.jit(
             guided_pipeline_cached,
@@ -1034,15 +1050,22 @@ class StagedGenerator:
 
     def _refresh_prologue(self):
         """One-time (per params) prologue: the adaLN step table + packed
-        layer weights are pure functions of the parameters; rebuilding
-        them inside every clip's program cost ~1.5 ms/clip."""
+        layer weights + the stacked codec tree are pure functions of the
+        parameters; rebuilding them inside every clip's program cost
+        ~1.5 ms/clip."""
+        cfg = self.model.cfg
+        params = self._params
+        self._codec_stack = None
+        if self.fused_codec and "codec" in params.get("params", {}):
+            from .fused_codec import stack_codec_params
+
+            self._codec_stack = stack_codec_params(
+                params["params"]["codec"], cfg.codec)
         if not self.fused:
             self._pro = None
             return
         from .fused_denoiser import adaln_table, pack_layers
 
-        params = self._params
-        cfg = self.model.cfg
         pd0 = params["params"]["denoiser"] if "denoiser" in params.get(
             "params", {}) else params["params"]
         self._pro = (
@@ -1057,7 +1080,8 @@ class StagedGenerator:
         (both route through sample_pipeline)."""
         b = self._cast_conds({k: batch[k] for k in (
             "word", "audio", "speaker_ids", "motion_mask")})
-        return self._sample_pipeline(self.params, b, rng, self._pro)
+        return self._sample_pipeline(self.params, b, rng, self._pro,
+                                     self._codec_stack)
 
     def inversion_self_check(self, re_dict) -> Dict[str, jnp.ndarray]:
         """Numerical sanity check of the DDIM inversion round-trip
@@ -1126,7 +1150,7 @@ class StagedGenerator:
                                                inv_core, list(inv_names), Qb)
                 return self._guided_pipeline_cached(
                     p, core, stack, gather, smask, jnp.asarray(gi),
-                    opts.guidance_lr, rng, self._pro,
+                    opts.guidance_lr, rng, self._pro, self._codec_stack,
                     inversion_start_time=int(opts.inversion_start_time))
             # the exemplar count varies per clip with retrieval hits;
             # bucket it to the next power of two (zero rows, mask 0) so
@@ -1140,6 +1164,7 @@ class StagedGenerator:
             return self._guided_pipeline(
                 p, core, inv_lat, inv_mask, inv_core, gather, smask,
                 jnp.asarray(gi), opts.guidance_lr, rng, self._pro,
+                self._codec_stack,
                 inversion_start_time=int(opts.inversion_start_time))
 
         if not opts.use_inversion and not opts.insertion_guidance:
@@ -1153,9 +1178,10 @@ class StagedGenerator:
                 rml = jnp.asarray(re_dict["raw_motion_latents"])
                 in_seq = rml[:, 0] if rml.ndim == 4 else rml
             else:
-                return self._sample_pipeline(p, core, rng, self._pro)
+                return self._sample_pipeline(p, core, rng, self._pro,
+                                             self._codec_stack)
             return self._sample_inseq_pipeline(p, core, rng, in_seq,
-                                               self._pro)
+                                               self._pro, self._codec_stack)
 
         r_noise, r_coef, r_loop = jax.random.split(rng, 3)
 
