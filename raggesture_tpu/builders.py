@@ -194,6 +194,9 @@ def optim_config_from(cfg: Config, total_steps: int) -> OptimConfig:
                           or _get(opt, "bf16", False)),
         # optimizer.bf16_conditions=true/false; unset = auto (TPU only)
         bf16_conditions=_get(opt, "bf16_conditions"),
+        # optimizer.fused_codec=true: stacked 3+1-program frozen encode
+        # (models/fused_codec.py) for non-latent-cache training
+        fused_codec=bool(_get(opt, "fused_codec", False)),
     )
 
 

@@ -233,12 +233,18 @@ def training_loss(
     t: Optional[jnp.ndarray] = None,
     t_weights: Optional[jnp.ndarray] = None,
     return_per_sample: bool = False,
+    fused_codec: bool = False,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """One training-loss evaluation (reference diffusion_architecture.py:
     178-212 + gaussian_diffusion.training_losses :1432-1535).
 
     Masked MSE between the denoiser's x0 prediction and the clean latents,
-    weighted per body part, normalized by the token mask sum."""
+    weighted per body part, normalized by the token mask sum.
+
+    ``fused_codec`` runs the frozen 4-part encode through the stacked
+    3+1-program path (models/fused_codec.py) — same latent distribution
+    (z0 is rsampled from the identical (mu, logvar); eps draws differ from
+    the per-part path, like the latent cache)."""
     cfg = model.cfg
     r_enc, r_t, r_noise, r_cond, r_drop = jax.random.split(rng, 5)
 
@@ -251,6 +257,27 @@ def training_loss(
         std = jnp.exp(0.5 * batch["latent_logvar"].astype(jnp.float32))
         z0 = mu + std * jax.random.normal(r_enc, mu.shape, mu.dtype)
         token_mask = latent_motion_mask(cfg.denoiser, batch["motion_mask"])
+    elif fused_codec:
+        from .fused_codec import fused_encode_dist, stack_codec_params
+        from .layers import strided_token_mask
+
+        feats = part_features(
+            batch["motion_upper"], batch["motion_lower"],
+            batch["motion_face"], batch["motion_hands"], batch["trans"],
+            batch["facial"], batch["contact"])
+        # the stack is rebuilt in-graph each step: pure reshapes/pads of
+        # frozen params (~6 MB), negligible next to the ~25 GFLOP/sample
+        # encode it batches, and grad-free under the stop_gradient below
+        cp = params["params"]["codec"]
+        mu, lv = fused_encode_dist(cfg.codec, cp,
+                                   stack_codec_params(cp, cfg.codec),
+                                   feats, batch.get("motion_mask"))
+        z0 = mu + jnp.exp(0.5 * lv) * jax.random.normal(r_enc, mu.shape,
+                                                        mu.dtype)
+        fm = batch.get("motion_mask")
+        if fm is None:
+            fm = jnp.ones(batch["motion_upper"].shape[:2])
+        token_mask = strided_token_mask(fm, cfg.codec.frame_chunk_size)
     else:
         z0, token_mask = model.apply(
             params, batch, rng=r_enc, sample=True, method=model.encode_motion

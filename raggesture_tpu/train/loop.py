@@ -53,6 +53,10 @@ class OptimConfig:
     # chips.  None = auto: on for the TPU backend, off elsewhere (CPU
     # matmuls are true f32, so the cast would change test numerics).
     bf16_conditions: Optional[bool] = None
+    # frozen 4-part encode through the stacked 3+1-program path
+    # (models/fused_codec.py) when training WITHOUT the latent cache —
+    # same latent distribution, fewer small programs per step
+    fused_codec: bool = False
 
 
 def param_labels(params) -> Any:
@@ -125,7 +129,8 @@ def _cast_floats(tree, dtype):
 def make_train_step(model: MotionDiffusionModel, tx,
                     sched_train: DiffusionSchedule,
                     bf16_compute: bool = False,
-                    with_timesteps: bool = False):
+                    with_timesteps: bool = False,
+                    fused_codec: bool = False):
     """Build the pure train-step fn (jit/pjit-ready).
 
     ``bf16_compute``: params and batch are cast to bfloat16 for the
@@ -142,7 +147,8 @@ def make_train_step(model: MotionDiffusionModel, tx,
 
         def loss_fn(params):
             kw = dict(t=t, t_weights=t_weights,
-                      return_per_sample=with_timesteps)
+                      return_per_sample=with_timesteps,
+                      fused_codec=fused_codec)
             if bf16_compute:
                 loss, logs = training_loss(
                     model, _cast_floats(params, jnp.bfloat16), sched_train,
@@ -167,7 +173,8 @@ def make_train_step(model: MotionDiffusionModel, tx,
 
 def make_multi_train_step(model: MotionDiffusionModel, tx,
                           sched_train: DiffusionSchedule,
-                          bf16_compute: bool = False):
+                          bf16_compute: bool = False,
+                          fused_codec: bool = False):
     """k train steps per dispatch via ``lax.scan`` over a stacked batch.
 
     One jitted call marshals the ~3000-leaf (state, batch) argument tree
@@ -183,7 +190,8 @@ def make_multi_train_step(model: MotionDiffusionModel, tx,
     leading ``k`` axis; logs come back with a leading ``(k,)`` axis.
     """
     step = make_train_step(model, tx, sched_train,
-                           bf16_compute=bf16_compute)
+                           bf16_compute=bf16_compute,
+                           fused_codec=fused_codec)
 
     def multi_step(state: TrainState, stacked_batch, rng: jax.Array):
         def body(s, b):

@@ -181,7 +181,8 @@ def train_model(
     step_fn = jit_train_step(
         make_train_step(model, tx, sched_train,
                         bf16_compute=optim_cfg.bf16_compute,
-                        with_timesteps=t_sampler is not None), mesh,
+                        with_timesteps=t_sampler is not None,
+                        fused_codec=optim_cfg.fused_codec), mesh,
         with_timesteps=t_sampler is not None)
     # multi-step dispatch (k steps per jitted call via lax.scan) amortizes
     # the per-dispatch argument marshaling — a ~2x wall win on remote-hosted
@@ -193,7 +194,8 @@ def train_model(
 
         multi_fn = jit_multi_train_step(
             make_multi_train_step(model, tx, sched_train,
-                                  bf16_compute=optim_cfg.bf16_compute),
+                                  bf16_compute=optim_cfg.bf16_compute,
+                                  fused_codec=optim_cfg.fused_codec),
             mesh)
     val_fn = None
     if val_loader is not None:

@@ -80,6 +80,28 @@ def test_fused_encode_dist_matches_per_part():
                                rtol=1e-6, atol=1e-6)
 
 
+def test_training_loss_fused_codec_matches_latent_cache():
+    """training_loss(fused_codec=True) draws z0 = mu + std*eps with the
+    same rng consumption as the latent-cache branch, and (mu, logvar) are
+    parity-exact — so the two losses must match to fp tolerance on the
+    same raw batch."""
+    from raggesture_tpu.models.architecture import training_loss
+
+    cfg, model, batch, params, codec_params, stacked = _setup()
+    sched = cfg.diffusion_train.schedule()
+    rng = jax.random.PRNGKey(11)
+    mu, lv = model.apply(params, batch, method=model.encode_motion_dist)
+    cached = {k: v for k, v in batch.items()
+              if k not in ("motion_upper", "motion_lower", "motion_face",
+                           "motion_hands", "trans", "facial", "contact")}
+    cached["latent_mu"], cached["latent_logvar"] = mu, lv
+    loss_ref, logs_ref = training_loss(model, params, sched, cached, rng)
+    loss_fused, logs_fused = training_loss(model, params, sched, batch,
+                                           rng, fused_codec=True)
+    np.testing.assert_allclose(float(loss_fused), float(loss_ref),
+                               rtol=1e-4, atol=1e-6)
+
+
 def test_fused_decode_jits_once():
     """The fused decode compiles standalone (the pipeline-tail shape)."""
     cfg, model, batch, params, codec_params, stacked = _setup()
