@@ -300,9 +300,41 @@ def main():
             "mfu": mfu(fp * rate),
         }
 
-    # codec round-trip (BASELINE config 2): 4-part encode -> decode
+    # codec round-trip (BASELINE config 2): encode -> decode.  The shipped
+    # path is the fused 3+1 stacked program (models/fused_codec.py — the
+    # serving pipeline tail and the training loss both route through it);
+    # the 4-separate-VAE variant is kept as _unfused for the delta.
     bb32 = synthetic_batch(seed=0, batch=32, frames=cfg.codec.num_frames,
                            audio_frames=8)
+    fv = vae_flops_per_clip(cfg.codec, encode=True, decode=True)
+
+    from raggesture_tpu.models.codec import part_features
+    from raggesture_tpu.models.fused_codec import (
+        fused_decode, fused_encode_dist, stack_codec_params)
+
+    cstack = stack_codec_params(params["params"]["codec"], cfg.codec)
+
+    def fused_roundtrip(p, cs, b):
+        cp = p["params"]["codec"]
+        feats = part_features(
+            b["motion_upper"], b["motion_lower"], b["motion_face"],
+            b["motion_hands"], b["trans"], b["facial"], b["contact"])
+        z, _ = fused_encode_dist(cfg.codec, cp, cs, feats,
+                                 b.get("motion_mask"))
+        return fused_decode(cfg.codec, cp, cs, z)
+
+    fused_roundtrip = jax.jit(fused_roundtrip)
+
+    def run_codec_fused(rng):
+        return fused_roundtrip(params, cstack, bb32)["upper"]
+
+    jax.block_until_ready(run_codec_fused(r))
+    dtc = best_of_trials(run_codec_fused, r, trials=3, iters=4)
+    full["configs"]["codec_roundtrip_b32"] = {
+        "clips_per_sec": round(32 / dtc, 3),
+        "gflops_per_clip": round(fv / 1e9, 1),
+        "mfu": mfu(fv * 32 / dtc),
+    }
 
     roundtrip = jax.jit(lambda p, b: model.apply(
         p, model.apply(p, b, rng=None, sample=False,
@@ -313,12 +345,11 @@ def main():
         return roundtrip(params, bb32)["upper"]
 
     jax.block_until_ready(run_codec(r))
-    dtc = best_of_trials(run_codec, r, trials=3, iters=4)
-    fv = vae_flops_per_clip(cfg.codec, encode=True, decode=True)
-    full["configs"]["codec_roundtrip_b32"] = {
-        "clips_per_sec": round(32 / dtc, 3),
+    dtu = best_of_trials(run_codec, r, trials=3, iters=4)
+    full["configs"]["codec_roundtrip_b32_unfused"] = {
+        "clips_per_sec": round(32 / dtu, 3),
         "gflops_per_clip": round(fv / 1e9, 1),
-        "mfu": mfu(fv * 32 / dtc),
+        "mfu": mfu(fv * 32 / dtu),
     }
 
     # guided inference (BASELINE config 3): Q=2, decreasing_till_25

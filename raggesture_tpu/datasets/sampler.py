@@ -179,3 +179,40 @@ class PrefetchLoader:
                 if c is not None:
                     inflight.append(pool.submit(make, c))
                 yield fut.result()
+
+
+def prefetch_iter(it: Iterator, depth: int = 2) -> Iterator:
+    """Drive an iterator from a background thread, staging up to ``depth``
+    items ahead of the consumer.
+
+    The device-side half of double buffering: the wrapped generator does
+    the host staging work (collate/stack + ``jax.device_put``, which is
+    thread-safe and enqueues an async transfer), so batch ``j+1`` is
+    already stacked and in flight to the device while the main thread's
+    step ``j`` dispatch is still outstanding.  The host-side half (record
+    reads + collation) is :class:`PrefetchLoader`.  Worker exceptions are
+    re-raised in the consumer."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+    sentinel = object()
+    err: List[BaseException] = []
+
+    def worker():
+        try:
+            for item in it:
+                q.put(item)
+        except BaseException as e:  # re-raised on the consumer side
+            err.append(e)
+        finally:
+            q.put(sentinel)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if err:
+                raise err[0]
+            return
+        yield item

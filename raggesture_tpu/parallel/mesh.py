@@ -100,7 +100,18 @@ def replicate_tree(tree, mesh: Mesh):
         return jax.tree_util.tree_map(
             lambda x: jax.make_array_from_process_local_data(
                 rep, np.asarray(x)), tree)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), tree)
+
+    def put(x):
+        # device_put may reuse a device-resident input buffer as the shard
+        # on its current device (zero-copy).  The replicated result is
+        # routinely donated (jit_train_step), and donating an aliased shard
+        # would delete the CALLER's array too — so copy device inputs first;
+        # the replicated tree must own every buffer it hands to donation.
+        if isinstance(x, jax.Array):
+            x = jnp.copy(x)
+        return jax.device_put(x, rep)
+
+    return jax.tree_util.tree_map(put, tree)
 
 
 def _shard_map(fn, mesh: Mesh, in_specs, out_specs):

@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..datasets.sampler import prefetch_iter
 from ..parallel.mesh import (
     make_mesh,
     put_stacked_batch,
@@ -96,6 +97,7 @@ def train_model(
     val_max_batches: int = 8,
     schedule_sampler: str = "uniform",
     multi_step: int = 1,
+    device_prefetch: int = 2,
 ) -> TrainState:
     """Run the epoch loop; returns the final TrainState (host-fetched)."""
     logger = get_root_logger()
@@ -215,7 +217,6 @@ def train_model(
             train_loader.set_epoch(epoch)
             t_epoch = time.time()
             n_batches = 0
-            mbuf = []
 
             # logs are device futures tied to their step's completion —
             # fetching them immediately after dispatch stalls the host on
@@ -248,15 +249,8 @@ def train_model(
                     # would drop most lines when steps advance by k > 1
                     pending_logs.append((global_step, logs))
 
-            def flush_mbuf():
-                nonlocal state
-                for b in mbuf:
-                    state, logs = step_fn(state, shard_batch(b, mesh), rng)
-                    log_step(logs)
-                mbuf.clear()
-
-            for batch in train_loader:
-                if t_sampler is not None:
+            if t_sampler is not None:
+                for batch in train_loader:
                     # the loader batch is this process's shard; t/w are drawn
                     # per local row and assembled into the global arrays by
                     # shard_batch (multi-process aware)
@@ -280,26 +274,50 @@ def train_model(
                         t_sampler.update_with_losses(t_np, local_losses)
                         logs.pop("t", None)
                     log_step(logs)
-                elif multi_fn is not None:
-                    hb = dbatch(batch)
-                    if mbuf and any(
-                            np.shape(mbuf[0][k2]) != np.shape(hb[k2])
-                            for k2 in mbuf[0]):
-                        flush_mbuf()  # ragged tail batch: run singly
-                    mbuf.append(hb)
-                    if len(mbuf) < multi_step:
-                        continue
-                    stacked = {k2: np.stack([b[k2] for b in mbuf])
-                               for k2 in mbuf[0]}
-                    mbuf.clear()
-                    sb = put_stacked_batch(stacked, mesh)
-                    state, logs = multi_fn(state, sb, rng)
-                    log_step(logs, k=multi_step)
-                else:
-                    db = shard_batch(dbatch(batch), mesh)
-                    state, logs = step_fn(state, db, rng)
-                    log_step(logs)
-            flush_mbuf()  # epoch tail shorter than multi_step
+            else:
+                def staged_stream():
+                    # host staging pipeline: collate -> (stack) -> device
+                    # placement.  Runs inside prefetch_iter's worker thread,
+                    # so batch j+1 is stacked and its transfer enqueued while
+                    # the main thread's step j dispatch is outstanding
+                    # (device-side double buffering; the loop below only
+                    # dispatches).  Yields (k_steps, device_batch).
+                    sbuf = []
+
+                    def drain_singly():
+                        for b in sbuf:
+                            yield 1, shard_batch(b, mesh)
+                        sbuf.clear()
+
+                    for batch in train_loader:
+                        hb = dbatch(batch)
+                        if multi_fn is None:
+                            yield 1, shard_batch(hb, mesh)
+                            continue
+                        if sbuf and any(
+                                np.shape(sbuf[0][k2]) != np.shape(hb[k2])
+                                for k2 in sbuf[0]):
+                            # ragged tail batch: run buffered ones singly
+                            yield from drain_singly()
+                        sbuf.append(hb)
+                        if len(sbuf) < multi_step:
+                            continue
+                        stacked = {k2: np.stack([b[k2] for b in sbuf])
+                                   for k2 in sbuf[0]}
+                        sbuf.clear()
+                        yield multi_step, put_stacked_batch(stacked, mesh)
+                    # epoch tail shorter than multi_step
+                    yield from drain_singly()
+
+                stream = staged_stream()
+                if device_prefetch > 0:
+                    stream = prefetch_iter(stream, depth=device_prefetch)
+                for k_steps, db in stream:
+                    if k_steps > 1:
+                        state, logs = multi_fn(state, db, rng)
+                    else:
+                        state, logs = step_fn(state, db, rng)
+                    log_step(logs, k=k_steps)
             flush_logs()  # drain the deferred interval before val/ckpt rows
             if val_fn is not None and (epoch + 1) % val_interval == 0:
                 # validation pass (reference val workflow / val_step)

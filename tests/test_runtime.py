@@ -531,6 +531,51 @@ def test_train_model_multi_step(tmp_path):
     assert os.path.exists(os.path.join(wd, "metrics.jsonl"))
 
 
+def test_device_prefetch_matches_unprefetched(tmp_path):
+    """The device-side staging thread (prefetch_iter: stack + device_put one
+    batch ahead of dispatch) is pure plumbing — same seed and data order
+    must give bit-identical final params with prefetch on vs off, across
+    the stacked multi-step path AND the ragged single-step tail."""
+    cfg = tiny_arch_config()
+    model = MotionDiffusionModel(cfg)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "vae": jax.random.PRNGKey(1)},
+        tiny_batch(batch=2))
+    ds = _ListDataset(_records(24))
+
+    def run(depth, wd):
+        dl = DataLoader(ds, batch_size=8, shuffle=True, drop_last=True)
+        return train_model(
+            model, dl, OptimConfig(total_steps=3), params=params,
+            max_epochs=1, workdir=wd, checkpoint_interval=5,
+            log_interval=2, tensorboard=False, seed=0, multi_step=2,
+            device_prefetch=depth,
+        )
+
+    s_pre = run(2, str(tmp_path / "pre"))
+    s_off = run(0, str(tmp_path / "off"))
+    assert int(s_pre.step) == int(s_off.step) == 3
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        s_pre.params, s_off.params)
+    assert max(jax.tree_util.tree_leaves(diffs)) == 0.0
+
+
+def test_prefetch_iter_propagates_errors():
+    from raggesture_tpu.datasets.sampler import prefetch_iter
+
+    def gen():
+        yield 1
+        yield 2
+        raise RuntimeError("boom")
+
+    out = []
+    with pytest.raises(RuntimeError, match="boom"):
+        for x in prefetch_iter(gen(), depth=1):
+            out.append(x)
+    assert out == [1, 2]
+
+
 def test_device_batch_bf16_conditions():
     """bf16_conditions casts ONLY the big condition features; the training
     step runs on them and lands near the f32 loss (the cast is exactly the

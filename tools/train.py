@@ -57,6 +57,10 @@ def parse_args():
                         "stacked batch; amortizes dispatch marshaling — "
                         "~2x wall on remote-hosted TPUs). Default: "
                         "runner.multi_step from the config, else 1")
+    p.add_argument("--device-prefetch", type=int, default=2,
+                   help="device-side double-buffer depth: batches staged "
+                        "(stacked + device_put) ahead of dispatch in a "
+                        "background thread; 0 disables")
     p.add_argument("--schedule-sampler", default="uniform",
                    choices=["uniform", "loss-second-moment"],
                    help="diffusion timestep sampler (loss-second-moment = "
@@ -268,6 +272,7 @@ def main():
             schedule_sampler=args.schedule_sampler,
             multi_step=(args.multi_step if args.multi_step is not None
                         else cfg.runner.get("multi_step", 1)),
+            device_prefetch=args.device_prefetch,
         )
     logger.info("training done at step %d", int(state.step))
 
