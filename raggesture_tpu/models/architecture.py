@@ -1323,15 +1323,21 @@ def splice_inverted(dcfg: DenoiserConfig, sched, start_noise, inv_stack,
 def _inv_conds_core(re_dict) -> Dict[str, Any]:
     """The retrieved exemplars' own raw conditions (for inversion).
 
-    Stays HOST-side (numpy) so StagedGenerator._cast_conds can apply the
-    bf16 wire cast before device placement; the jit boundary does the
-    device put either way."""
+    Device arrays pass through UNTOUCHED: the retrieval database's payload
+    bank (retrieval/database.py::_payload_row) stages exemplar features on
+    the device at retrieval time, and pulling them back to host here cost a
+    measured ~35 ms re-transfer per guided clip on remote-tunnel rigs.
+    Host inputs stay numpy so StagedGenerator._cast_conds can apply the
+    bf16 wire cast before the jit boundary's device put."""
     import numpy as np
 
+    def keep(v):
+        return v if isinstance(v, jax.Array) else np.asarray(v)
+
     return {
-        "word": np.asarray(re_dict["inv_conds"]["word"]),
-        "audio": np.asarray(re_dict["inv_conds"]["audio"]),
-        "speaker_ids": np.asarray(re_dict["inv_conds"]["speaker_ids"]),
+        "word": keep(re_dict["inv_conds"]["word"]),
+        "audio": keep(re_dict["inv_conds"]["audio"]),
+        "speaker_ids": keep(re_dict["inv_conds"]["speaker_ids"]),
     }
 
 

@@ -216,7 +216,9 @@ class RetrievalDatabase:
 
     def __init__(self, corpus: RetrievalCorpus, cfg: RetrievalConfig,
                  dataset, llm_fn: Optional[Callable[[str], str]] = None,
-                 rng: Optional[random.Random] = None):
+                 rng: Optional[random.Random] = None,
+                 device_payloads: Optional[bool] = None,
+                 payload_bank_capacity: int = 512):
         self.corpus = corpus
         self.cfg = cfg
         self.dataset = dataset
@@ -228,6 +230,23 @@ class RetrievalDatabase:
         self.test_indexes: Dict = {}
         self.test_dbounds: Dict = {}
         self.test_qbounds: Dict = {}
+        # device-resident exemplar payload bank: the raw word/audio condition
+        # features a guided clip must ship to the device are per-EXEMPLAR
+        # constants, and on remote-hosted TPUs their host->device transfer
+        # (~1.5 MB bf16 over the tunnel) was measured at ~35 ms/clip — 2.2x
+        # a full plain generation.  Staging them once per unique exemplar at
+        # retrieval time (device_put is async, so the copy rides the
+        # retrieval window) makes a cold guided clip transfer-free at the
+        # generator dispatch.  The reference re-ships exemplar conditions
+        # every clip (diffusion_architecture.py:323-354).
+        import jax
+
+        self._wire_bf16 = jax.default_backend() == "tpu"
+        if device_payloads is None:
+            device_payloads = self._wire_bf16
+        self.device_payloads = bool(device_payloads)
+        self.payload_bank_capacity = int(payload_bank_capacity)
+        self._payload_bank: Dict[str, Dict] = {}
 
     # -- memoization persistence (DatabaseSaveHook equivalent) --------------
 
@@ -282,6 +301,43 @@ class RetrievalDatabase:
                     for idx, methods in raw.items()
                 }
                 setattr(self, name, fixed)
+
+    # -- device exemplar payload bank ----------------------------------------
+
+    def _payload_row(self, name: str, sample: Dict) -> Dict:
+        """Get-or-stage one exemplar's raw condition payload on the device.
+
+        Rows are cast with the shared bf16 wire policy (utils/wire.py) and
+        device_put ASYNCHRONOUSLY — the transfer overlaps the rest of
+        re_dict assembly and is amortized across every later clip that
+        retrieves the same exemplar (LRU, ``payload_bank_capacity``)."""
+        import jax
+
+        hit = self._payload_bank.get(name)
+        if hit is not None:
+            self._payload_bank[name] = self._payload_bank.pop(name)  # touch
+            return hit
+        host = {
+            "word": np.asarray(sample["word"], np.float32),
+            "audio": np.asarray(sample["audio"], np.float32),
+        }
+        if self._wire_bf16:
+            # same policy as StagedGenerator.bf16_conditions (utils/wire.py):
+            # TPU matmuls round f32 operands to bf16 anyway, so bank rows
+            # stored bf16 halve HBM at zero numeric cost — and match the
+            # dtype the generator's jitted pipelines were traced with
+            from ..utils.wire import cast_condition_features
+
+            host = cast_condition_features(host)
+        row = {
+            "word": jax.device_put(host["word"]),
+            "audio": jax.device_put(host["audio"]),
+            "speaker_id": int(np.asarray(sample["speaker_id"]).reshape(-1)[0]),
+        }
+        self._payload_bank[name] = row
+        while len(self._payload_bank) > self.payload_bank_capacity:
+            self._payload_bank.pop(next(iter(self._payload_bank)))
+        return row
 
     # -- retrieval dispatch (raggesture.py:313-477) --------------------------
 
@@ -453,6 +509,7 @@ class RetrievalDatabase:
         lat_np = np.zeros((max(Q, 1), T, cfg.latent_dim), np.float32)
         inv_mask = np.zeros((max(Q, 1), T), np.float32)
         inv_word, inv_audio, inv_spk = [], [], []
+        dev_inv = None
         uniq_names = list(dict.fromkeys(exemplar_names))
         fetched = {n: self.dataset[n] for n in uniq_names}
         samples = [fetched[n] for n in exemplar_names]
@@ -476,6 +533,26 @@ class RetrievalDatabase:
             lat, mask = encode_fn(enc_batch)
             row = {n: i for i, n in enumerate(uniq_names)}
             sel = [row[n] for n in exemplar_names]
+            if self.device_payloads:
+                # stage the payload rows on device (get-or-insert; the
+                # device_put transfers are async and overlap the host
+                # assembly below).  Uniform row shapes are the norm (window
+                # features are fixed-length per config) — a ragged set
+                # (e.g. an empty-audio exemplar) falls back to the host
+                # pad_stack path for this call only.
+                prows = [self._payload_row(n, fetched[n])
+                         for n in exemplar_names]
+                if (len({r["word"].shape for r in prows}) == 1
+                        and len({r["audio"].shape for r in prows}) == 1):
+                    sel_d = jnp.asarray(sel)
+                    dev_inv = {
+                        "latents": jnp.asarray(lat)[sel_d],
+                        "mask": jnp.asarray(mask)[sel_d],
+                        "word": jnp.stack([r["word"] for r in prows]),
+                        "audio": jnp.stack([r["audio"] for r in prows]),
+                        "speaker_ids": jnp.asarray(
+                            [r["speaker_id"] for r in prows], jnp.int32),
+                    }
             lat_np = np.asarray(lat)[sel]
             inv_mask = np.asarray(mask)[sel]
             for s in samples:
@@ -534,13 +611,23 @@ class RetrievalDatabase:
             "raw_latent_mask": raw_latent_mask,
             "retr_startends": retr_startends,
             "query_startends": query_startends,
-            # batched inversion inputs
-            "inv_latents": lat_np[: max(Q, 1)],
-            "inv_mask": inv_mask[: max(Q, 1)],
+            # batched inversion inputs — device-resident when the payload
+            # bank staged them (StagedGenerator passes device arrays through
+            # untouched, so a cold guided clip ships nothing at dispatch)
+            "inv_latents": dev_inv["latents"] if dev_inv is not None
+            else lat_np[: max(Q, 1)],
+            "inv_mask": dev_inv["mask"] if dev_inv is not None
+            else inv_mask[: max(Q, 1)],
             "inv_conds": {
-                "word": pad_stack(inv_word) if Q else np.zeros((1, 1, cfg.text_latent_dim), np.float32),
-                "audio": pad_stack(inv_audio) if Q else np.zeros((1, 1, cfg.text_latent_dim), np.float32),
-                "speaker_ids": np.asarray(inv_spk, np.int32) if Q else np.zeros((1,), np.int32),
+                "word": dev_inv["word"] if dev_inv is not None
+                else pad_stack(inv_word) if Q
+                else np.zeros((1, 1, cfg.text_latent_dim), np.float32),
+                "audio": dev_inv["audio"] if dev_inv is not None
+                else pad_stack(inv_audio) if Q
+                else np.zeros((1, 1, cfg.text_latent_dim), np.float32),
+                "speaker_ids": dev_inv["speaker_ids"] if dev_inv is not None
+                else np.asarray(inv_spk, np.int32) if Q
+                else np.zeros((1,), np.int32),
             },
             "splice": np.asarray(splice_rows, np.int32).reshape(-1, 4)
             if splice_rows else np.zeros((0, 4), np.int32),
