@@ -83,6 +83,36 @@ def test_feature_conversions_shapes():
     np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), atol=1e-4)
 
 
+def test_feature_conversions_match_per_rotation_path():
+    """The SoA fast path (dense component planes) must match the per-rotation
+    reference math exactly — including identity rotations (Shepperd candidate
+    ties) and near-2*pi rotations (Taylor branch selection)."""
+    rs = np.random.RandomState(1)
+    x = rs.randn(3, 7, 30).astype(np.float32)
+    x[0, 0, :] = 0.0                       # identity rotations
+    x[1, 1, :3] = [np.pi, 0.0, 0.0]        # angle pi (q_abs tie region)
+    x = jnp.asarray(x)
+
+    j = 10
+    aa = x.reshape(3, 7, j, 3)
+    ref6 = rot.matrix_to_rotation_6d(rot.axis_angle_to_matrix(aa))
+    got6 = rot.aa_feature_to_6d(x)
+    np.testing.assert_allclose(np.asarray(got6),
+                               np.asarray(ref6.reshape(3, 7, j * 6)),
+                               atol=1e-6)
+
+    ref_aa = rot.matrix_to_axis_angle(
+        rot.rotation_6d_to_matrix(ref6)).reshape(3, 7, j * 3)
+    got_aa = rot.d6_feature_to_aa(got6)
+    np.testing.assert_allclose(np.asarray(got_aa), np.asarray(ref_aa),
+                               atol=1e-5)
+
+    # grad-safe on a batch containing exact identities
+    g = jax.grad(lambda v: rot.d6_feature_to_aa(
+        rot.aa_feature_to_6d(v)).sum())(x)
+    assert np.isfinite(np.asarray(g)).all()
+
+
 def test_grad_safe_at_identity_and_still_pose():
     """The module contract: every conversion is safe under jax.grad.
     sqrt'(0)=inf / arccos'(1)=-inf leaked NaNs at the IDENTITY rotation
