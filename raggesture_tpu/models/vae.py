@@ -27,6 +27,7 @@ Replicated structural quirks (trained checkpoints depend on them):
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Optional
 
 import jax
@@ -90,21 +91,38 @@ class TorchMHA(nn.Module):
     @nn.compact
     def __call__(self, q, k, v, key_padding_mask=None, deterministic=True):
         # q: (B, Tq, D); k, v: (B, Tk, D); key_padding_mask: (B, Tk) True=valid
+        from ..ops.pallas import mha_kernel
+
         B, Tq, D = q.shape
         H = self.num_heads
         Dh = D // H
-        qp = nn.Dense(D, name="q_proj")(q).reshape(B, Tq, H, Dh)
-        kp = nn.Dense(D, name="k_proj")(k).reshape(B, -1, H, Dh)
-        vp = nn.Dense(D, name="v_proj")(v).reshape(B, -1, H, Dh)
-        logits = jnp.einsum("bqhd,bkhd->bhqk", qp, kp) / jnp.sqrt(
-            jnp.asarray(Dh, q.dtype)
-        )
-        if key_padding_mask is not None:
-            bias = jnp.where(key_padding_mask[:, None, None, :], 0.0, -1e9)
-            logits = logits + bias
-        w = jax.nn.softmax(logits, axis=-1)
-        w = nn.Dropout(self.dropout)(w, deterministic=deterministic)
-        out = jnp.einsum("bhqk,bkhd->bqhd", w, vp).reshape(B, Tq, D)
+        qd = nn.Dense(D, name="q_proj")(q)
+        kd = nn.Dense(D, name="k_proj")(k)
+        vd = nn.Dense(D, name="v_proj")(v)
+        # the many-tiny-head decoders (H*8 heads, Dh 8/16) are HBM-bound
+        # through XLA (the (B,H,T,T) logits round-trip); the Pallas kernel
+        # keeps logits VMEM-resident (ops/pallas/mha_kernel.py).  Masked or
+        # dropout-active calls use the einsum path (same math).
+        dropout_active = self.dropout > 0.0 and not deterministic
+        if (key_padding_mask is None and not dropout_active
+                and jax.default_backend() == "tpu"
+                and mha_kernel.supported(qd, kd, H)):
+            out = mha_kernel.fused_softmax_mha(qd, kd, vd, H,
+                                               1.0 / math.sqrt(Dh))
+        else:
+            qp = qd.reshape(B, Tq, H, Dh)
+            kp = kd.reshape(B, -1, H, Dh)
+            vp = vd.reshape(B, -1, H, Dh)
+            logits = jnp.einsum("bqhd,bkhd->bhqk", qp, kp) / jnp.sqrt(
+                jnp.asarray(Dh, q.dtype)
+            )
+            if key_padding_mask is not None:
+                bias = jnp.where(key_padding_mask[:, None, None, :], 0.0,
+                                 -1e9)
+                logits = logits + bias
+            w = jax.nn.softmax(logits, axis=-1)
+            w = nn.Dropout(self.dropout)(w, deterministic=deterministic)
+            out = jnp.einsum("bhqk,bkhd->bqhd", w, vp).reshape(B, Tq, D)
         return nn.Dense(D, name="out_proj")(out)
 
 

@@ -134,3 +134,48 @@ def test_fused_ffn_matches_xla():
     scale, shift = adaln_scale_shift(emb, params["proj_out"])
     out = fused_ffn(x, scale, shift, params, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_fused_softmax_mha_matches_xla():
+    """Flash-style codec MHA kernel vs the einsum path, at the decoder's
+    many-tiny-head shapes (32 heads of Dh=16; 64 of Dh=8 for lowertrans)."""
+    from raggesture_tpu.ops.pallas.mha_kernel import (
+        fused_softmax_mha, supported, xla_mha)
+
+    rng = np.random.RandomState(11)
+    for B, Tq, Tk, D, H in [(2, 160, 160, 512, 32), (2, 160, 160, 512, 64),
+                            (1, 24, 16, 64, 4)]:
+        q = jnp.asarray(rng.randn(B, Tq, D), jnp.float32)
+        k = jnp.asarray(rng.randn(B, Tk, D), jnp.float32)
+        v = jnp.asarray(rng.randn(B, Tk, D), jnp.float32)
+        scale = 1.0 / np.sqrt(D // H)
+        assert supported(q, k, H)
+        ref = xla_mha(q, k, v, H, scale)
+        out = fused_softmax_mha(q, k, v, H, scale, True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5)
+    # ineligible shapes fall back in TorchMHA: rows/heads not 8-aligned
+    assert not supported(jnp.zeros((1, 17, 512)), jnp.zeros((1, 17, 512)), 32)
+    assert not supported(jnp.zeros((1, 16, 512)), jnp.zeros((1, 16, 512)), 7)
+
+
+def test_fused_softmax_mha_vmap_and_grad():
+    """The stacked 3-part codec decode vmaps TorchMHA; a dropout-free VAE
+    training step may differentiate through the kernel (custom_vjp routes
+    the backward through the einsum math)."""
+    from raggesture_tpu.ops.pallas.mha_kernel import fused_softmax_mha, xla_mha
+
+    rng = np.random.RandomState(12)
+    q = jnp.asarray(rng.randn(3, 2, 32, 64), jnp.float32)
+    k = jnp.asarray(rng.randn(3, 2, 24, 64), jnp.float32)
+    v = jnp.asarray(rng.randn(3, 2, 24, 64), jnp.float32)
+    H, scale = 8, 1.0 / np.sqrt(8)
+    out = jax.vmap(lambda a, b, c: fused_softmax_mha(a, b, c, H, scale,
+                                                     True))(q, k, v)
+    ref = jax.vmap(lambda a, b, c: xla_mha(a, b, c, H, scale))(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    gk = jax.grad(lambda a: fused_softmax_mha(a, k[0], v[0], H, scale,
+                                              True).sum())(q[0])
+    gx = jax.grad(lambda a: xla_mha(a, k[0], v[0], H, scale).sum())(q[0])
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gx), atol=2e-5)
