@@ -43,7 +43,7 @@ from flax import linen as nn
 from ..ops.linear_attention import (
     NEG_MASK,
     feature_softmax_q,
-    linear_attention,
+    grouped_linear_attention,
     time_softmax_k,
 )
 from .layers import (
@@ -148,8 +148,10 @@ class EfficientSelfAttention(nn.Module):
         k = nn.Dense(D, name="key")(xn) + (1.0 - src_mask) * NEG_MASK
         v = nn.Dense(D, name="value")(xn) * src_mask
         q = feature_softmax_q(q.reshape(B, T, H, -1))
-        k = time_softmax_k(k.reshape(B, T, H, -1))
-        y = linear_attention(q, k, v.reshape(B, T, H, -1)).reshape(B, T, D)
+        # k/v stay FLAT: the time softmax is per-feature either way, and the
+        # grouped contraction avoids the lane-padded (B,T,H,Dh) relayouts
+        k = time_softmax_k(k)
+        y = grouped_linear_attention(q, k, v, H).reshape(B, T, D)
         return x + StylizationBlock(self.latent_dim, self.dropout, name="proj_out")(
             y, emb, deterministic
         )
@@ -179,8 +181,8 @@ class EfficientCrossAttention(nn.Module):
             v = nn.Dense(D, name="value")(xfn * cond_mask)
         else:
             v = nn.Dense(D, name="value")(xfn)
-        k = time_softmax_k(k.reshape(B, N, H, -1))
-        y = linear_attention(q, k, v.reshape(B, N, H, -1))
+        k = time_softmax_k(k)
+        y = grouped_linear_attention(q, k, v, H)
         if query_mask is not None:
             y = y + (1.0 - query_mask).reshape(B, T, 1, 1) * NEG_MASK
         y = y.reshape(B, T, D)

@@ -30,7 +30,9 @@ import jax.numpy as jnp
 from ..ops.linear_attention import (
     NEG_MASK,
     feature_softmax_q,
-    linear_attention,
+    group_size,
+    grouped_linear_attention,
+    head_group_mask,
     time_softmax_k,
 )
 from ..ops.pallas.linear_attention_kernel import (
@@ -152,8 +154,8 @@ def self_attention_xla(p, x, src_mask, scale, shift, num_heads):
     v = _dense(xn, p["value"]) * src_mask
     H = num_heads
     q = feature_softmax_q(q.reshape(B, T, H, -1))
-    k = time_softmax_k(k.reshape(B, T, H, -1))
-    y = linear_attention(q, k, v.reshape(B, T, H, -1)).reshape(B, T, D)
+    k = time_softmax_k(k)
+    y = grouped_linear_attention(q, k, v, H).reshape(B, T, D)
     return x + _stylize(y, p["proj_out"], scale, shift)
 
 
@@ -170,8 +172,8 @@ def cross_attention(p, x, xf, scale, shift, query_mask, cond_mask, num_heads):
         v = _dense(xfn * cond_mask, p["value"])
     else:
         v = _dense(xfn, p["value"])
-    k = time_softmax_k(k.reshape(B, N, H, -1))
-    y = linear_attention(q, k, v.reshape(B, N, H, -1))
+    k = time_softmax_k(k)
+    y = grouped_linear_attention(q, k, v, H)
     if query_mask is not None:
         y = y + (1.0 - query_mask).reshape(B, T, 1, 1) * NEG_MASK
     y = y.reshape(B, T, D)
@@ -282,12 +284,27 @@ def cross_context(p_ca: Dict, xf: jnp.ndarray, cond_mask, num_heads: int
     else:
         v = _dense(xfn, p_ca["value"])
     H = num_heads
-    k_sm = time_softmax_k(k.reshape(B, N, H, -1))
-    ctx = jnp.einsum("bnhd,bnhl->bhdl", k_sm, v.reshape(B, N, H, -1))
-    # place per-head blocks on the (D, D) block diagonal in one fused
-    # broadcast-multiply: full[b, h*Dh+d, h'*Dh+l] = ctx[b,h,d,l]·[h==h']
-    # ((B,H,Dh,H,Dh) has exactly D·D elements — no scatter ops)
-    eye = jnp.eye(H, dtype=ctx.dtype)
+    Dh = D // H
+    k_sm = time_softmax_k(k)
+    g = group_size(H, Dh) if jax.default_backend() == "tpu" else 1
+    G = H // g
+    S = g * Dh
+    # grouped contraction via tile-aligned lane slices (see
+    # ops/linear_attention.py::grouped_linear_attention): full-tile MXU
+    # GEMMs instead of per-head (Dh, N)·(N, Dh) slivers; the head-group
+    # mask zeroes the off-head blocks so each group's (S, S) context is
+    # exactly its g per-head blocks
+    mask = (head_group_mask(g, Dh, Dh, k_sm.dtype) if g > 1
+            else jnp.ones((S, S), k_sm.dtype))
+    ctx = jnp.stack([
+        jnp.einsum("bnd,bne->bde", k_sm[..., gi * S:(gi + 1) * S],
+                   v[..., gi * S:(gi + 1) * S]) * mask
+        for gi in range(G)
+    ], axis=1)                                    # (B, G, S, S)
+    # place per-group blocks on the (D, D) block diagonal in one fused
+    # broadcast-multiply: full[b, g·S+d, g'·S+l] = ctx[b,g,d,l]·[g==g']
+    # ((B,G,S,G,S) has exactly D·D elements — no scatter ops)
+    eye = jnp.eye(G, dtype=ctx.dtype)
     full = ctx[:, :, :, None, :] * eye[None, :, None, :, None]
     return full.reshape(B, D, D)
 
