@@ -130,7 +130,8 @@ def make_train_step(model: MotionDiffusionModel, tx,
                     sched_train: DiffusionSchedule,
                     bf16_compute: bool = False,
                     with_timesteps: bool = False,
-                    fused_codec: bool = False):
+                    fused_codec: bool = False,
+                    log_per_sample: bool = False):
     """Build the pure train-step fn (jit/pjit-ready).
 
     ``bf16_compute``: params and batch are cast to bfloat16 for the
@@ -139,7 +140,14 @@ def make_train_step(model: MotionDiffusionModel, tx,
 
     ``with_timesteps``: the step takes (t, t_weights) drawn by an external
     schedule sampler (diffusion/samplers.py) and returns per-sample losses
-    in the logs for the sampler's history update."""
+    in the logs for the sampler's history update.
+
+    ``log_per_sample``: keep the per-sample (pre-reduce) losses in the
+    logs.  Per-sample values never cross the batch-axis all-reduce, so they
+    are bit-identical across device topologies (1×8 vs 2×4 processes) where
+    the reduced scalar legitimately differs by reduce-decomposition ulps —
+    the distributed bitness proof (tests/test_distributed.py) compares
+    them exactly."""
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                    rng: jax.Array, t=None, t_weights=None):
@@ -147,7 +155,7 @@ def make_train_step(model: MotionDiffusionModel, tx,
 
         def loss_fn(params):
             kw = dict(t=t, t_weights=t_weights,
-                      return_per_sample=with_timesteps,
+                      return_per_sample=with_timesteps or log_per_sample,
                       fused_codec=fused_codec)
             if bf16_compute:
                 loss, logs = training_loss(
@@ -165,6 +173,8 @@ def make_train_step(model: MotionDiffusionModel, tx,
         new_state = TrainState(params=params, opt_state=opt_state,
                                step=state.step + 1)
         logs = dict(logs)
+        if log_per_sample and not with_timesteps:
+            logs.pop("t", None)  # per_sample_loss stays; t is sampler-only
         logs["grad_norm"] = optax.global_norm(grads)
         return new_state, logs
 

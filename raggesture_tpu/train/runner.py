@@ -98,8 +98,14 @@ def train_model(
     schedule_sampler: str = "uniform",
     multi_step: int = 1,
     device_prefetch: int = 2,
+    log_per_sample: bool = False,
 ) -> TrainState:
-    """Run the epoch loop; returns the final TrainState (host-fetched)."""
+    """Run the epoch loop; returns the final TrainState (host-fetched).
+
+    ``log_per_sample`` writes the per-sample pre-reduce losses into each
+    logged metrics row (key ``per_sample_loss``, a list).  They bypass the
+    batch-axis all-reduce, so they are the topology-invariant quantity the
+    distributed bitness proof compares exactly (single-step path only)."""
     logger = get_root_logger()
     # host-side artifacts (metrics.jsonl, TensorBoard, retrieval memo JSONs)
     # are rank-0-only in multi-process runs — every process sees identical
@@ -184,7 +190,8 @@ def train_model(
         make_train_step(model, tx, sched_train,
                         bf16_compute=optim_cfg.bf16_compute,
                         with_timesteps=t_sampler is not None,
-                        fused_codec=optim_cfg.fused_codec), mesh,
+                        fused_codec=optim_cfg.fused_codec,
+                        log_per_sample=log_per_sample), mesh,
         with_timesteps=t_sampler is not None)
     # multi-step dispatch (k steps per jitted call via lax.scan) amortizes
     # the per-dispatch argument marshaling — a ~2x wall win on remote-hosted
@@ -229,9 +236,14 @@ def train_model(
             def flush_logs():
                 while pending_logs:
                     step_no, lg = pending_logs.pop(0)
-                    # multi-step logs carry a leading (k,) axis — log means
-                    host_logs = {key: float(np.mean(np.asarray(v)))
-                                 for key, v in lg.items()}
+                    # multi-step logs carry a leading (k,) axis — log means;
+                    # per-sample vectors are preserved verbatim (bitness
+                    # proof payload, see log_per_sample)
+                    host_logs = {
+                        key: (np.asarray(v).reshape(-1).tolist()
+                              if key == "per_sample_loss"
+                              else float(np.mean(np.asarray(v))))
+                        for key, v in lg.items()}
                     host_logs["epoch_time"] = time.time() - t_epoch
                     writer.write(step_no, host_logs, epoch=epoch,
                                  force=True)

@@ -79,11 +79,18 @@ class MetricWriter:
     def write(self, step: int, scalars: Dict[str, float],
               prefix: str = "train", epoch: Optional[int] = None,
               force: bool = False):
-        scalars = {k: float(v) for k, v in scalars.items()}
+        # vector-valued entries (per-sample loss lists from the distributed
+        # bitness proof) go to the JSONL record verbatim; TB and the text
+        # line carry scalars only
+        vectors = {k: list(map(float, v)) for k, v in scalars.items()
+                   if isinstance(v, (list, tuple))}
+        scalars = {k: float(v) for k, v in scalars.items()
+                   if not isinstance(v, (list, tuple))}
         # record keys win over scalar names (a metric literally named
         # 'step'/'time'/'prefix'/'epoch' — e.g. mmcv's per-iter 'time' —
         # must not crash dict() or shadow the bookkeeping fields)
         rec = dict(scalars)
+        rec.update(vectors)
         rec.update(step=step, time=time.time(), prefix=prefix)
         if epoch is not None:
             rec["epoch"] = epoch

@@ -9,13 +9,18 @@ with per-process batch shards assembled via
 ``jax.make_array_from_process_local_data``, orbax multihost checkpointing —
 is exercised here for real: TWO local processes (4 virtual CPU devices
 each, Gloo collectives) train the tiny config for 2 epochs through the
-actual CLI, and the run must match a single-process 8-device run: step 1
-BIT-FOR-BIT (same global batch order, same initial replicas, correct
-gradient psum), later steps and the final checkpointed TrainState to tight
-tolerances — after the first parameter update exact bitness across
-topologies is unattainable, because the cross-host all-reduce decomposes
-the fp summation differently than the single-host 8-device ring (the
-reference's DDP on 2 nodes is likewise not bit-equal to 1 node).
+actual CLI, and the run must match a single-process 8-device run: the
+step-1 PER-SAMPLE pre-reduce losses BIT-FOR-BIT (they never cross a
+collective, so they prove global batch order, initial replica equality,
+and identical per-device forward compute), the step-1 reduced scalars to a
+few f32 ulps, and later steps / the final checkpointed TrainState to tight
+tolerances.  Exact bitness of any REDUCED quantity across topologies is
+unattainable even before the first update: the cross-host all-reduce
+decomposes the fp summation differently than the single-host 8-device
+ring (measured ~1e-7 relative on recon_loss; the reference's DDP on 2
+nodes is likewise not bit-equal to 1 node).  A wrong gradient psum would
+still be caught: step-2 per-sample losses sit downstream of the full
+update and carry a 1e-4 bar.
 
 Bit-for-bit needs the same global batch order: the 2-process loaders see
 ``indices[shard::2]``, and the global array layout is [process 0's shard |
@@ -132,7 +137,7 @@ total_steps = len(loader) * 2
 state = train_model(model, loader, optim_config_from(cfg, total_steps),
                     params=params, max_epochs=2, workdir=workdir,
                     checkpoint_interval=1, log_interval=1,
-                    tensorboard=False, seed=0)
+                    tensorboard=False, seed=0, log_per_sample=True)
 print("baseline done at step", int(state.step))
 '''
 
@@ -178,6 +183,7 @@ def test_two_process_distributed_matches_single_process(tmp_path):
             [sys.executable, os.path.join(REPO, "tools", "train.py"), CFG,
              "--work-dir", dist_work, "--device-batch-size", "1",
              "--seed", "0", "--no-validate", "--load-from", init_params_path,
+             "--log-per-sample",
              "--distributed", "--coordinator", f"localhost:{port}",
              "--num-processes", "2", "--process-id", str(rank),
              "--options"] + opts,
@@ -188,29 +194,38 @@ def test_two_process_distributed_matches_single_process(tmp_path):
         assert p.returncode == 0, \
             f"distributed rank {rank} failed:\n{out[-4000:]}"
 
-    # 3. step-1 losses bit-for-bit (proves global batch order, initial
-    #    replica equality, and the gradient psum); later steps loosely —
-    #    the ~1-ulp cross-host reduce difference is amplified ~100x per
-    #    forward pass by the chaotic random-init denoiser (grad_norm is the
-    #    most curvature-sensitive: 0.6% by step 3 in practice)
+    # 3. step-1 PER-SAMPLE losses bit-for-bit: each sample's loss is
+    #    computed entirely on the one device holding it (no collective), so
+    #    it is topology-invariant — exact equality proves global batch
+    #    order, initial replica equality, and identical per-device forward
+    #    compute.  The REDUCED scalars cross the batch-axis all-reduce,
+    #    whose fp decomposition legitimately differs between the 1-process
+    #    8-device ring and the 2-process Gloo tree (~1e-7 relative,
+    #    deterministic) — they get a few-ulp bound.  Later steps loosely:
+    #    the ulp-level reduce difference enters the params at step 1's
+    #    update and is amplified ~10x per forward by the chaotic
+    #    random-init denoiser (grad_norm is the most curvature-sensitive:
+    #    1e-5 at step 2, 0.6% at 3, 7% at 4)
     base = _train_rows(base_work)
     dist = _train_rows(dist_work)
     assert set(base) == set(dist) and len(base) == 4
     steps_sorted = sorted(base)
+    step1 = steps_sorted[0]
+    ps_a = base[step1]["per_sample_loss"]
+    ps_b = dist[step1]["per_sample_loss"]
+    assert len(ps_a) == len(ps_b) == 8
+    assert ps_a == ps_b, f"step-1 per-sample losses: {ps_a} != {ps_b}"
     for i, step in enumerate(steps_sorted):
-        # grad_norm is the most curvature-sensitive quantity (~10x per step:
-        # 1e-5 at step 2, 0.6% at 3, 7% at 4) — only meaningful early;
-        # the losses stay comparable and prove epoch-2 batch ordering
         keys = (("recon_loss", "mse_unweighted", "grad_norm") if i < 2
                 else ("recon_loss", "mse_unweighted"))
         for key in keys:
             a, b = base[step][key], dist[step][key]
-            if i == 0:
-                assert a == b, f"step {step} {key}: {a} != {b}"
-            else:
-                tol = 1e-4 if i == 1 else 5e-2
-                assert np.isclose(a, b, rtol=tol, atol=1e-6), (
-                    f"step {step} {key}: {a} != {b}")
+            # step-1 scalars: reduce-decomposition ulps only (atol=0 — the
+            # bound must stay relative); then 1e-4 after one update, 5e-2
+            # once chaos has amplified the seed difference
+            tol = 3e-6 if i == 0 else (1e-4 if i == 1 else 5e-2)
+            assert np.isclose(a, b, rtol=tol, atol=1e-6 if i else 0.0), (
+                f"step {step} {key}: {a} != {b}")
 
     # 4. final checkpointed TrainState after 4 data-parallel steps: same
     #    structure and step, params close (they move ~warmup-lr per step, so

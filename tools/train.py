@@ -69,6 +69,10 @@ def parse_args():
                    help="capture a jax.profiler device trace of the first "
                         "training steps into <work-dir>/profile (view with "
                         "TensorBoard's profile plugin or Perfetto)")
+    p.add_argument("--log-per-sample", action="store_true",
+                   help="write per-sample pre-reduce losses into each "
+                        "metrics.jsonl row — the topology-invariant "
+                        "quantity the distributed bitness test compares")
     p.add_argument("--debug-nans", action="store_true",
                    help="enable jax.debug_nans (the reference forces torch "
                         "detect_anomaly; here it is opt-in — it costs real "
@@ -273,6 +277,7 @@ def main():
             multi_step=(args.multi_step if args.multi_step is not None
                         else cfg.runner.get("multi_step", 1)),
             device_prefetch=args.device_prefetch,
+            log_per_sample=args.log_per_sample,
         )
     logger.info("training done at step %d", int(state.step))
 
