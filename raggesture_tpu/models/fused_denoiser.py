@@ -270,10 +270,13 @@ def fused_denoise(
 # calls; caching removes all condition-side GEMMs from the hot loop.
 # ---------------------------------------------------------------------------
 
-def cross_context(p_ca: Dict, xf: jnp.ndarray, cond_mask, num_heads: int
-                  ) -> jnp.ndarray:
+def cross_context(p_ca: Dict, xf: jnp.ndarray, cond_mask, num_heads: int,
+                  g: int = 0) -> jnp.ndarray:
     """(B, N, Dc) conditions -> (B, D, D) block-diagonal linear-attention
-    context for one EfficientCrossAttention block."""
+    context for one EfficientCrossAttention block.
+
+    ``g`` forces a head-group size (tests exercise the grouped stack/eye
+    construction on CPU); 0 = auto (grouped on TPU, per-head elsewhere)."""
     B, N, _ = xf.shape
     D = p_ca["query"]["kernel"].shape[1]
     xfn = _ln(xf, p_ca["text_norm"])
@@ -286,7 +289,8 @@ def cross_context(p_ca: Dict, xf: jnp.ndarray, cond_mask, num_heads: int
     H = num_heads
     Dh = D // H
     k_sm = time_softmax_k(k)
-    g = group_size(H, Dh) if jax.default_backend() == "tpu" else 1
+    if g == 0:
+        g = group_size(H, Dh) if jax.default_backend() == "tpu" else 1
     G = H // g
     S = g * Dh
     # grouped contraction via tile-aligned lane slices (see

@@ -107,8 +107,10 @@ class TorchMHA(nn.Module):
         if (key_padding_mask is None and not dropout_active
                 and jax.default_backend() == "tpu"
                 and mha_kernel.supported(qd, kd, H)):
-            out = mha_kernel.fused_softmax_mha(qd, kd, vd, H,
-                                               1.0 / math.sqrt(Dh))
+            # the kernel accumulates/returns f32; cast back so both
+            # branches hand out_proj the same compute dtype under bf16
+            out = mha_kernel.fused_softmax_mha(
+                qd, kd, vd, H, 1.0 / math.sqrt(Dh)).astype(qd.dtype)
         else:
             qp = qd.reshape(B, Tq, H, Dh)
             kp = kd.reshape(B, -1, H, Dh)

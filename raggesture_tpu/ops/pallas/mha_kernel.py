@@ -49,8 +49,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+# Conservative per-grid-step VMEM budget: half of the 16 MB/core so the
+# pipeline's double buffering and Mosaic scratch still fit.
+_VMEM_BUDGET_BYTES = 8 * 1024 * 1024
+
+
 def supported(q: jnp.ndarray, k: jnp.ndarray, num_heads: int) -> bool:
-    """Shape eligibility: 3-D operands, sublane-aligned rows and heads.
+    """Shape eligibility: 3-D operands, sublane-aligned rows and heads,
+    and a per-grid-step VMEM bound — one step holds the f32-transposed
+    q/k/v blocks, the (D, Tq) output, and a few (Tk, Tq) f32 logits
+    buffers, so an 8-aligned but LONG sequence (large n_frames decode)
+    must route to the XLA path instead of failing Mosaic compilation.
 
     (The *backend* decision — compiled TPU path vs XLA — is the caller's;
     tests drive the kernel in interpreter mode on CPU.)"""
@@ -61,7 +70,16 @@ def supported(q: jnp.ndarray, k: jnp.ndarray, num_heads: int) -> bool:
     if D % num_heads:
         return False
     Dh = D // num_heads
-    return Dh % 8 == 0 and Tq % 8 == 0 and Tk % 8 == 0 and Tk >= 8
+    if not (Dh % 8 == 0 and Tq % 8 == 0 and Tk % 8 == 0 and Tk >= 8):
+        return False
+    f32 = 4
+    vmem = (
+        (Tq * D + 2 * Tk * D) * q.dtype.itemsize  # staged input blocks
+        + (Tq * D + 2 * Tk * D) * f32             # in-core f32 transposes
+        + D * Tq * f32                            # output block
+        + 3 * Tk * Tq * f32                       # ltT / exp / weights
+    )
+    return vmem <= _VMEM_BUDGET_BYTES
 
 
 def _mha_kernel(q_ref, k_ref, v_ref, o_ref, *, num_heads: int, scale: float):

@@ -83,7 +83,7 @@ def test_grouped_cross_context_matches():
     xf = _rand((B, N, D), 11)
     full = np.asarray(cross_context(p_ca, xf, None, H))
     # reference: per-head blocks on the diagonal, zeros elsewhere
-    Dh = D // H
+    Dh = D // H  # 32 -> auto group size on TPU would be 128/32 = 4
     from raggesture_tpu.models.fused_denoiser import _dense, _ln
     from raggesture_tpu.ops.linear_attention import time_softmax_k
     xfn = _ln(xf, p_ca["text_norm"])
@@ -94,3 +94,16 @@ def test_grouped_cross_context_matches():
     for h in range(H):
         want[:, h * Dh:(h + 1) * Dh, h * Dh:(h + 1) * Dh] = ctx[:, h]
     np.testing.assert_allclose(full, want, rtol=1e-5, atol=1e-6)
+    # force the GROUPED stack/eye construction (g > 1) on CPU — the auto
+    # path only groups on TPU, so a regression there would otherwise
+    # surface only on the shared TPU host (g=2: two 64-lane groups;
+    # g=4: one 128-lane group spanning all heads)
+    for g in (2, 4):
+        grouped = np.asarray(cross_context(p_ca, xf, None, H, g=g))
+        np.testing.assert_allclose(grouped, want, rtol=1e-5, atol=1e-6)
+    # with a condition mask (the masked-k / masked-v branch) too
+    cm = jnp.ones((B, 1, 1), jnp.float32)
+    ref_m = np.asarray(cross_context(p_ca, xf, cm, H, g=1))
+    for g in (2, 4):
+        grouped = np.asarray(cross_context(p_ca, xf, cm, H, g=g))
+        np.testing.assert_allclose(grouped, ref_m, rtol=1e-5, atol=1e-6)
