@@ -148,14 +148,17 @@ def paired_best_of_trials(run_a, run_b, rng, trials: int = 4,
     return best_a, best_b
 
 
-def make_guided_inputs(model, params, gen, cfg, batch):
-    """Synthetic Q=2 exemplar re_dict (two splice windows, own conds)."""
+def make_guided_inputs(model, params, gen, cfg, batch, q_per_item: int = 2):
+    """Synthetic exemplar re_dict: ``q_per_item`` splice windows per batch
+    item, each with its own (unique) exemplar latents + conditions — the
+    batched generalization of the reference's serial per-(batch, query)
+    loop (diffusion_architecture.py:323-354)."""
     import numpy as np
 
     z, mask = gen._encode(params, batch)
     B = z.shape[0]
     rng = np.random.RandomState(0)
-    q = 2
+    q = q_per_item * B
     inv_lat = jnp.asarray(rng.randn(q, *z.shape[1:]).astype(np.float32))
     inv_mask = jnp.ones((q, z.shape[1]), jnp.float32)
     conds_core = {
@@ -163,10 +166,12 @@ def make_guided_inputs(model, params, gen, cfg, batch):
             q, 4, cfg.denoiser.text_latent_dim).astype(np.float32)),
         "audio": jnp.asarray(rng.randn(
             q, 499, cfg.denoiser.audio_latent_dim).astype(np.float32)),
-        "speaker_ids": jnp.asarray([1, 2], jnp.int32),
+        "speaker_ids": jnp.asarray((np.arange(q) % 24) + 1, jnp.int32),
     }
-    splice = jnp.asarray([[0, 0, 0, 3], [0, 5, 2, 3]][:q], jnp.int32)
-    assert B == 1
+    # two non-overlapping windows per item (same layout the b1 bench used)
+    windows = [[0, 0, 3], [5, 2, 3]][:q_per_item]
+    splice = jnp.asarray([[b] + w for b in range(B) for w in windows],
+                         jnp.int32)
     return {"inv_latents": inv_lat, "inv_mask": inv_mask,
             "inv_conds": conds_core, "splice": splice, "num_queries": q}
 
@@ -281,12 +286,31 @@ def main():
         "mfu": mfu(fp * clips_per_sec),
     }
 
+    # device-time (trace-derived, load-robust) next to wall throughput:
+    # wall on the shared remote host includes tunnel dispatch + load swings;
+    # busy_ms is what the chip actually executed (utils/profiling.py)
+    from raggesture_tpu.utils.profiling import traced_device_time_ms
+
+    def device_cols(run_blocking, per_call_flops, n_per_call):
+        dev = traced_device_time_ms(run_blocking) if on_tpu else None
+        if dev is None:
+            return {}
+        busy_s = dev["busy_ms"] / 1e3
+        return {
+            "device_ms_per_call": round(dev["busy_ms"], 3),
+            "device_clips_per_sec": round(n_per_call / busy_s, 3),
+            "device_mfu": mfu(per_call_flops / busy_s),
+        }
+
     # batch scaling (BASELINE config 1 at serving batch sizes; 64 is past
     # the BASELINE list — throughput saturates there, see the roofline
     # note in docs/PERFORMANCE.md)
+    plain_b8_batch = None
     for B in (8, 32, 64):
         bb = synthetic_batch(seed=0, batch=B, frames=cfg.codec.num_frames,
                              audio_frames=499)
+        if B == 8:
+            plain_b8_batch = bb
 
         def run_b(rng, bb=bb):
             return gen.sample(bb, rng)["output_latents"]
@@ -298,6 +322,8 @@ def main():
             "clips_per_sec": round(rate, 3),
             "gflops_per_clip": round(fp / 1e9, 1),
             "mfu": mfu(fp * rate),
+            **device_cols(lambda: jax.block_until_ready(run_b(r)),
+                          fp * B, B),
         }
 
     # codec round-trip (BASELINE config 2): encode -> decode.  The shipped
@@ -334,6 +360,8 @@ def main():
         "clips_per_sec": round(32 / dtc, 3),
         "gflops_per_clip": round(fv / 1e9, 1),
         "mfu": mfu(fv * 32 / dtc),
+        **device_cols(lambda: jax.block_until_ready(run_codec_fused(r)),
+                      fv * 32, 32),
     }
 
     roundtrip = jax.jit(lambda p, b: model.apply(
@@ -350,6 +378,8 @@ def main():
         "clips_per_sec": round(32 / dtu, 3),
         "gflops_per_clip": round(fv / 1e9, 1),
         "mfu": mfu(fv * 32 / dtu),
+        **device_cols(lambda: jax.block_until_ready(run_codec(r)),
+                      fv * 32, 32),
     }
 
     # guided inference (BASELINE config 3): Q=2, decreasing_till_25
@@ -392,6 +422,47 @@ def main():
         "gflops_per_clip": round(fgw / 1e9, 1),
         "mfu": mfu(fgw / dtw),
         "pct_of_plain": round(dtpw / dtw, 3),
+    }
+
+    # guided batch scaling (VERDICT r3 §5): the batched-inversion redesign's
+    # advantage over the reference's serial per-(batch, query) loop
+    # (diffusion_architecture.py:323-354) at serving batch — 8 clips,
+    # 2 queries each (16 exemplar inversions cold, all cached warm)
+    re8 = make_guided_inputs(model, params, gen, cfg, plain_b8_batch)
+
+    def run_plain_b8(rng):
+        return gen.sample(plain_b8_batch, rng)["output_latents"]
+
+    def run_guided_b8_cold(rng):
+        return gen(plain_b8_batch, rng, opts=opts, guidance_iters=gi,
+                   re_dict=re8)["output_latents"]
+
+    jax.block_until_ready(run_guided_b8_cold(r))
+    dtp8, dtg8 = paired_best_of_trials(run_plain_b8, run_guided_b8_cold, r,
+                                       trials=3, iters=4)
+    fg8 = flops_guided_clip(cfg, q=2, steps=steps, invert=True)  # per clip
+    full["configs"]["guided_b8_cold"] = {
+        "clips_per_sec": round(8 / dtg8, 3),
+        "gflops_per_clip": round(fg8 / 1e9, 1),
+        "mfu": mfu(fg8 * 8 / dtg8),
+        "pct_of_plain": round(dtp8 / dtg8, 3),
+    }
+
+    re8_named = dict(re8, inv_names=[f"bench8_{i}" for i in range(16)])
+
+    def run_guided_b8_warm(rng):
+        return gen(plain_b8_batch, rng, opts=opts, guidance_iters=gi,
+                   re_dict=re8_named)["output_latents"]
+
+    jax.block_until_ready(run_guided_b8_warm(r))  # populates the cache
+    dtp8w, dtw8 = paired_best_of_trials(run_plain_b8, run_guided_b8_warm, r,
+                                        trials=3, iters=4)
+    fg8w = flops_guided_clip(cfg, q=2, steps=steps, invert=False)
+    full["configs"]["guided_b8_warm"] = {
+        "clips_per_sec": round(8 / dtw8, 3),
+        "gflops_per_clip": round(fg8w / 1e9, 1),
+        "mfu": mfu(fg8w * 8 / dtw8),
+        "pct_of_plain": round(dtp8w / dtw8, 3),
     }
 
     # long-form synthesis (BASELINE config 5): 3 chunks of 150 frames with
@@ -459,6 +530,9 @@ def main():
     mu, logvar = jax.jit(lambda p, b: model.apply(
         p, b, method=model.encode_motion_dist))(params, tb)
     jax.block_until_ready(mu)
+    # host snapshot: the runner-path rows below need live params AFTER the
+    # donating train steps have consumed the device buffers
+    params_host = jax.device_get(params)
     state, tx = create_train_state(model, params,
                                    OptimConfig(total_steps=100))
     step = jax.jit(make_train_step(model, tx, cfg.diffusion_train.schedule()),
@@ -543,7 +617,122 @@ def main():
         "mfu": mfu(ftc / best_c),
     }
 
+    # ------------------------------------------------------------------
+    # runner-path training rows (VERDICT r3 §3): the REAL tools/train.py
+    # dispatch chain — host batches staged (bf16-cast + stacked +
+    # device_put) in prefetch_iter's worker thread, k=8 steps per jitted
+    # dispatch — unlike the bare compute rows above, whose stacks already
+    # live on device.  Plus the host->device tunnel bandwidth, which lower-
+    # bounds any streaming step: a batch-128 step ships ~100 MB of bf16
+    # condition features, so wall >= max(device step, bytes/bandwidth)
+    # regardless of prefetch depth.
+    # ------------------------------------------------------------------
+    import gc
     import os
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    # free the ~6 GB device-resident (K, ...) stacks before streaming rows
+    mu_np, logvar_np = np.asarray(mu), np.asarray(logvar)
+    del stb, stc, logs_k, state, mu, logvar
+    gc.collect()
+
+    probe = np.random.RandomState(0).randn(32, 1024, 1024).astype(np.float32)
+    x = jax.block_until_ready(jax.device_put(probe))  # warm the path
+    del x
+    bw = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        x = jax.block_until_ready(jax.device_put(probe))
+        bw = max(bw, probe.nbytes / (time.perf_counter() - t0))
+        del x
+    full["configs"]["h2d_transfer"] = {
+        "gbytes_per_sec": round(bw / 1e9, 3),
+        "probe_mbytes": round(probe.nbytes / 1e6, 1),
+    }
+
+    from raggesture_tpu.train.runner import train_model
+
+    class _Loader:
+        """Fixed list of host batches (the real loader's contract)."""
+
+        def __init__(self, batches):
+            self._b = batches
+
+        def set_epoch(self, epoch):
+            pass
+
+        def __len__(self):
+            return len(self._b)
+
+        def __iter__(self):
+            return iter(self._b)
+
+    def runner_ms_per_step(batches, prefetch, epochs=3):
+        workdir = tempfile.mkdtemp(prefix="bench_runner_")
+        try:
+            train_model(
+                model, _Loader(batches),
+                OptimConfig(total_steps=len(batches) * epochs),
+                params=params_host, max_epochs=epochs, workdir=workdir,
+                checkpoint_interval=10_000, log_interval=1,
+                tensorboard=False, seed=0, multi_step=K,
+                device_prefetch=prefetch)
+            per_epoch = {}
+            with open(os.path.join(workdir, "metrics.jsonl")) as f:
+                for line in f:
+                    rec = json.loads(line)
+                    if rec.get("prefix") == "train" and "epoch_time" in rec:
+                        e = rec.get("epoch", 0)
+                        per_epoch[e] = max(per_epoch.get(e, 0.0),
+                                           rec["epoch_time"])
+            # epoch 0 includes compile; warm epochs measure the pipeline
+            warm = [v for e, v in per_epoch.items() if e > 0]
+            return min(warm) / len(batches)
+        finally:
+            shutil.rmtree(workdir, ignore_errors=True)
+
+    n_stream = 32  # 4 k=8 dispatches per epoch
+    plain_batches = [tb] * n_stream
+    cached_host = {k: v for k, v in tb.items()
+                   if k not in ("motion_upper", "motion_lower", "motion_face",
+                                "motion_hands", "trans", "facial", "contact")}
+    cached_host["latent_mu"] = mu_np
+    cached_host["latent_logvar"] = logvar_np
+    cache_batches = [cached_host] * n_stream
+
+    # alternate prefetch on/off so both see the same load regime (the
+    # paired-trial principle at epoch granularity)
+    best_p2 = best_p0 = best_plain = float("inf")
+    for _ in range(2):
+        best_plain = min(best_plain, runner_ms_per_step(plain_batches, 2))
+        best_p2 = min(best_p2, runner_ms_per_step(cache_batches, 2))
+        best_p0 = min(best_p0, runner_ms_per_step(cache_batches, 0))
+    step_mb = sum(np.asarray(v).nbytes for k, v in cached_host.items()
+                  if k in ("audio", "word")) / 2 / 1e6  # bf16 on the wire
+    full["configs"][f"train_runner_ms{K}_b128_prefetch2"] = {
+        "ms_per_step": round(best_plain * 1e3, 2),
+        "samples_per_sec": round(128 / best_plain, 1),
+        "gflops_per_step": round(ft / 1e9, 1),
+        "mfu": mfu(ft / best_plain),
+    }
+    full["configs"][f"train_runner_ms{K}_latcache_b128_prefetch2"] = {
+        "ms_per_step": round(best_p2 * 1e3, 2),
+        "samples_per_sec": round(128 / best_p2, 1),
+        "gflops_per_step": round(ftc / 1e9, 1),
+        "mfu": mfu(ftc / best_p2),
+        "condition_mbytes_per_step": round(step_mb, 1),
+        "transfer_floor_ms": round(step_mb * 1e6 / bw * 1e3, 2)
+        if bw else None,
+    }
+    full["configs"][f"train_runner_ms{K}_latcache_b128_prefetch0"] = {
+        "ms_per_step": round(best_p0 * 1e3, 2),
+        "samples_per_sec": round(128 / best_p0, 1),
+        "gflops_per_step": round(ftc / 1e9, 1),
+        "mfu": mfu(ftc / best_p0),
+    }
 
     out_path = args.out or ("docs/BENCH_FULL.json" if on_tpu
                             else "docs/BENCH_FULL.cpu.json")

@@ -61,6 +61,71 @@ class StepTimer:
         return items_per_step / st if st > 0 else 0.0
 
 
+def xplane_device_time_ms(logdir: str) -> Optional[dict]:
+    """Parse a ``jax.profiler`` xplane trace -> device-time summary.
+
+    Returns ``{"busy_ms": float, "span_ms": float, "n_ops": int}`` for the
+    device plane's "XLA Ops" line: ``busy_ms`` sums op durations (the
+    device-compute time — ops on one TensorCore timeline are serialized),
+    ``span_ms`` is last-end minus first-start (includes inter-op gaps,
+    i.e. host dispatch stalls show up here but not in busy).  Wall-clock
+    timings on the shared remote-TPU host swing 1.5-2.5x with load;
+    device time from a trace is load-robust, which is why the bench
+    records it next to wall throughput (VERDICT r3 §2).  Returns None
+    when no device plane exists (CPU runs) or the profile plugin proto
+    is unavailable."""
+    import glob
+
+    try:
+        from tensorboard_plugin_profile.protobuf import xplane_pb2
+    except Exception:  # pragma: no cover - env dependent
+        return None
+    paths = glob.glob(logdir + "/**/*.xplane.pb", recursive=True)
+    if not paths:
+        return None
+    xs = xplane_pb2.XSpace()
+    with open(max(paths), "rb") as f:
+        xs.ParseFromString(f.read())
+    for plane in xs.planes:
+        if "TPU" not in plane.name and "/device:" not in plane.name:
+            continue
+        for line in plane.lines:
+            if line.name != "XLA Ops":
+                continue
+            if not line.events:
+                continue
+            busy = sum(ev.duration_ps for ev in line.events) / 1e9
+            start = min(ev.offset_ps for ev in line.events)
+            end = max(ev.offset_ps + ev.duration_ps for ev in line.events)
+            return {"busy_ms": busy, "span_ms": (end - start) / 1e9,
+                    "n_ops": len(line.events)}
+    return None
+
+
+def traced_device_time_ms(run, iters: int = 3) -> Optional[dict]:
+    """Trace ``iters`` calls of ``run()`` (must block on its result) into a
+    temp dir and return per-call device time (busy/span divided by iters)."""
+    import shutil
+    import tempfile
+
+    logdir = tempfile.mkdtemp(prefix="devtime_")
+    try:
+        try:
+            with trace(logdir):
+                for _ in range(iters):
+                    run()
+            stats = xplane_device_time_ms(logdir)
+        except Exception:  # profiler unavailable over some remote backends
+            return None
+        if stats is None:
+            return None
+        return {"busy_ms": stats["busy_ms"] / iters,
+                "span_ms": stats["span_ms"] / iters,
+                "n_ops": stats["n_ops"] // iters}
+    finally:
+        shutil.rmtree(logdir, ignore_errors=True)
+
+
 def enable_debug_nans(enable: bool = True):
     """Opt-in NaN tracing (the TPU-era equivalent of the reference's
     always-on ``torch.autograd.set_detect_anomaly(True)``,
