@@ -213,6 +213,10 @@ def main():
                          "docs/BENCH_FULL.json on TPU; off-TPU runs write "
                          "docs/BENCH_FULL.cpu.json so a CPU smoke never "
                          "clobbers the TPU-measured artifact)")
+    ap.add_argument("--train-runner-only", action="store_true",
+                    help="measure only the runner-path training rows and "
+                         "write them to --out (spawned by --all as a "
+                         "subprocess for a clean-HBM measurement)")
     args = ap.parse_args()
     from raggesture_tpu.utils.env import setup_compilation_cache
 
@@ -222,6 +226,10 @@ def main():
     # CPU-pinned bench run must not reach _require_backend unpinned
     setup_compilation_cache()
     _require_backend()
+
+    if args.train_runner_only:
+        train_runner_main(args.out or "/tmp/bench_runner_rows.json")
+        return
 
     from raggesture_tpu.datasets.fixtures import full_arch_config, synthetic_batch
     from raggesture_tpu.models.architecture import (
@@ -268,6 +276,18 @@ def main():
     if not args.all:
         print(json.dumps(headline))
         return
+
+    import os
+
+    out_path = args.out or ("docs/BENCH_FULL.json" if on_tpu
+                            else "docs/BENCH_FULL.cpu.json")
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+
+    def _dump(d):
+        # incremental: a crash in a later section must not lose the rows
+        # already measured (a 35-minute lesson from round 4)
+        with open(out_path, "w") as f:
+            json.dump(d, f, indent=1)
 
     full = {"configs": {}, "methodology":
             "best-of-4x10 trial minima in one process (shared TPU host, "
@@ -326,6 +346,8 @@ def main():
                           fp * B, B),
         }
 
+    _dump(full)
+
     # codec round-trip (BASELINE config 2): encode -> decode.  The shipped
     # path is the fused 3+1 stacked program (models/fused_codec.py — the
     # serving pipeline tail and the training loss both route through it);
@@ -382,6 +404,8 @@ def main():
                       fv * 32, 32),
     }
 
+    _dump(full)
+
     # guided inference (BASELINE config 3): Q=2, decreasing_till_25
     re_dict = make_guided_inputs(model, params, gen, cfg, batch)
     gi = guidance_iters_schedule("decreasing_till_25", steps)
@@ -424,6 +448,8 @@ def main():
         "pct_of_plain": round(dtpw / dtw, 3),
     }
 
+    _dump(full)
+
     # guided batch scaling (VERDICT r3 §5): the batched-inversion redesign's
     # advantage over the reference's serial per-(batch, query) loop
     # (diffusion_architecture.py:323-354) at serving batch — 8 clips,
@@ -464,6 +490,8 @@ def main():
         "mfu": mfu(fg8w * 8 / dtw8),
         "pct_of_plain": round(dtp8w / dtw8, 3),
     }
+
+    _dump(full)
 
     # long-form synthesis (BASELINE config 5): 3 chunks of 150 frames with
     # prev-latent handoff (stride 150-15), as tools/longform_synthesis.py
@@ -513,6 +541,8 @@ def main():
         "mfu": mfu(cb * fl / dtlb),
     }
 
+    _dump(full)
+
     # training step (BASELINE config 5's training half): device batch 128
     from raggesture_tpu.train.loop import (
         OptimConfig,
@@ -530,9 +560,6 @@ def main():
     mu, logvar = jax.jit(lambda p, b: model.apply(
         p, b, method=model.encode_motion_dist))(params, tb)
     jax.block_until_ready(mu)
-    # host snapshot: the runner-path rows below need live params AFTER the
-    # donating train steps have consumed the device buffers
-    params_host = jax.device_get(params)
     state, tx = create_train_state(model, params,
                                    OptimConfig(total_steps=100))
     step = jax.jit(make_train_step(model, tx, cfg.diffusion_train.schedule()),
@@ -617,16 +644,46 @@ def main():
         "mfu": mfu(ftc / best_c),
     }
 
-    # ------------------------------------------------------------------
-    # runner-path training rows (VERDICT r3 §3): the REAL tools/train.py
-    # dispatch chain — host batches staged (bf16-cast + stacked +
-    # device_put) in prefetch_iter's worker thread, k=8 steps per jitted
-    # dispatch — unlike the bare compute rows above, whose stacks already
-    # live on device.  Plus the host->device tunnel bandwidth, which lower-
-    # bounds any streaming step: a batch-128 step ships ~100 MB of bf16
-    # condition features, so wall >= max(device step, bytes/bandwidth)
-    # regardless of prefetch depth.
-    # ------------------------------------------------------------------
+    # runner-path training rows run in a SUBPROCESS (bench.py
+    # --train-runner-only): the streaming pipeline holds ~3 batch stacks +
+    # a full TrainState in HBM, and on top of this process's resident
+    # pipelines/caches that OOM'd the chip — a child starts with a clean
+    # HBM slate and a failure there cannot lose this artifact
+    import subprocess
+    import sys
+    import tempfile
+
+    _dump(full)
+    sub_out = tempfile.mktemp(suffix=".json", prefix="bench_runner_")
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--train-runner-only",
+         "--out", sub_out],
+        capture_output=True, text=True, timeout=3600)
+    if proc.returncode == 0 and os.path.exists(sub_out):
+        with open(sub_out) as f:
+            full["configs"].update(json.load(f)["configs"])
+        os.remove(sub_out)
+    else:
+        full["configs"]["train_runner_error"] = {
+            "returncode": proc.returncode,
+            "stderr_tail": proc.stderr[-2000:],
+        }
+
+    _dump(full)
+    print(json.dumps(full, indent=1))
+    print(json.dumps(headline))
+
+
+def train_runner_main(out_path: str):
+    """--train-runner-only: measure the REAL tools/train.py dispatch chain
+    (VERDICT r3 §3) — host batches staged (bf16-cast + stacked +
+    device_put) in prefetch_iter's worker thread, k=8 steps per jitted
+    dispatch — unlike --all's bare compute rows, whose stacks already live
+    on device.  Also probes the host->device tunnel bandwidth, which
+    lower-bounds any streaming step: a batch-128 step ships ~100 MB of
+    bf16 condition features, so wall >= max(device step, bytes/bandwidth)
+    regardless of prefetch depth.  Runs standalone (clean HBM) and writes
+    {"configs": {...}} to ``out_path``."""
     import gc
     import os
     import shutil
@@ -634,10 +691,35 @@ def main():
 
     import numpy as np
 
-    # free the ~6 GB device-resident (K, ...) stacks before streaming rows
+    from raggesture_tpu.datasets.fixtures import full_arch_config, synthetic_batch
+    from raggesture_tpu.models.architecture import MotionDiffusionModel, init_params
+    from raggesture_tpu.train.loop import OptimConfig
+    from raggesture_tpu.train.runner import train_model
+
+    cfg = full_arch_config()
+    model = MotionDiffusionModel(cfg)
+    on_tpu = jax.default_backend() == "tpu"
+    peak = V5E_PEAK_FLOPS if on_tpu else None
+
+    def mfu(flops_per_sec):
+        return round(flops_per_sec / peak, 4) if peak else None
+
+    b1 = synthetic_batch(seed=0, batch=1, frames=cfg.codec.num_frames,
+                         audio_frames=499)
+    params = init_params(model, jax.random.PRNGKey(0), b1)
+    tb = synthetic_batch(seed=1, batch=128, frames=cfg.codec.num_frames,
+                         audio_frames=499)
+    mu, logvar = jax.jit(lambda p, b: model.apply(
+        p, b, method=model.encode_motion_dist))(params, tb)
     mu_np, logvar_np = np.asarray(mu), np.asarray(logvar)
-    del stb, stc, logs_k, state, mu, logvar
+    params_host = jax.device_get(params)
+    del params, mu, logvar  # train_model replicates from the host copies
     gc.collect()
+
+    K = 8
+    ft = flops_train_sample(cfg) * 128
+    ftc = ft - vae_flops_per_clip(cfg.codec, encode=True, decode=False) * 128
+    configs = {}
 
     probe = np.random.RandomState(0).randn(32, 1024, 1024).astype(np.float32)
     x = jax.block_until_ready(jax.device_put(probe))  # warm the path
@@ -648,12 +730,10 @@ def main():
         x = jax.block_until_ready(jax.device_put(probe))
         bw = max(bw, probe.nbytes / (time.perf_counter() - t0))
         del x
-    full["configs"]["h2d_transfer"] = {
+    configs["h2d_transfer"] = {
         "gbytes_per_sec": round(bw / 1e9, 3),
         "probe_mbytes": round(probe.nbytes / 1e6, 1),
     }
-
-    from raggesture_tpu.train.runner import train_model
 
     class _Loader:
         """Fixed list of host batches (the real loader's contract)."""
@@ -712,13 +792,13 @@ def main():
         best_p0 = min(best_p0, runner_ms_per_step(cache_batches, 0))
     step_mb = sum(np.asarray(v).nbytes for k, v in cached_host.items()
                   if k in ("audio", "word")) / 2 / 1e6  # bf16 on the wire
-    full["configs"][f"train_runner_ms{K}_b128_prefetch2"] = {
+    configs[f"train_runner_ms{K}_b128_prefetch2"] = {
         "ms_per_step": round(best_plain * 1e3, 2),
         "samples_per_sec": round(128 / best_plain, 1),
         "gflops_per_step": round(ft / 1e9, 1),
         "mfu": mfu(ft / best_plain),
     }
-    full["configs"][f"train_runner_ms{K}_latcache_b128_prefetch2"] = {
+    configs[f"train_runner_ms{K}_latcache_b128_prefetch2"] = {
         "ms_per_step": round(best_p2 * 1e3, 2),
         "samples_per_sec": round(128 / best_p2, 1),
         "gflops_per_step": round(ftc / 1e9, 1),
@@ -727,20 +807,15 @@ def main():
         "transfer_floor_ms": round(step_mb * 1e6 / bw * 1e3, 2)
         if bw else None,
     }
-    full["configs"][f"train_runner_ms{K}_latcache_b128_prefetch0"] = {
+    configs[f"train_runner_ms{K}_latcache_b128_prefetch0"] = {
         "ms_per_step": round(best_p0 * 1e3, 2),
         "samples_per_sec": round(128 / best_p0, 1),
         "gflops_per_step": round(ftc / 1e9, 1),
         "mfu": mfu(ftc / best_p0),
     }
-
-    out_path = args.out or ("docs/BENCH_FULL.json" if on_tpu
-                            else "docs/BENCH_FULL.cpu.json")
-    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     with open(out_path, "w") as f:
-        json.dump(full, f, indent=1)
-    print(json.dumps(full, indent=1))
-    print(json.dumps(headline))
+        json.dump({"configs": configs}, f, indent=1)
+    print(json.dumps({"configs": configs}, indent=1))
 
 
 if __name__ == "__main__":

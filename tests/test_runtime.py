@@ -649,3 +649,51 @@ def test_epoch_sampler_many_shards_tiny_dataset():
         assert lens == [per[0].per_shard] * shards, (n, shards, lens)
         for s in per:
             assert all(0 <= i < n for i in s.indices())
+
+
+def test_metric_writer_vector_values(tmp_path):
+    """Vector-valued metrics (per-sample pre-reduce losses, the distributed
+    bitness payload) serialize verbatim into metrics.jsonl; scalars keep
+    the text/TB path (utils/logger.py::MetricWriter)."""
+    import json
+
+    from raggesture_tpu.utils.logger import MetricWriter
+
+    wd = str(tmp_path / "w")
+    w = MetricWriter(wd, interval=1, tensorboard=False)
+    w.write(1, {"recon_loss": 1.5,
+                "per_sample_loss": [0.25, 0.5, 0.125]}, epoch=0)
+    w.close()
+    rows = [json.loads(l) for l in open(os.path.join(wd, "metrics.jsonl"))]
+    assert rows[0]["recon_loss"] == 1.5
+    assert rows[0]["per_sample_loss"] == [0.25, 0.5, 0.125]
+
+
+def test_train_model_log_per_sample(tmp_path):
+    """runner.train_model(log_per_sample=True) writes one pre-reduce loss
+    per sample whose numpy mean is consistent with the logged batch mean
+    up to summation order (tests/test_distributed.py proves topology
+    bitness through the CLI)."""
+    import json
+
+    cfg = tiny_arch_config()
+    model = MotionDiffusionModel(cfg)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "vae": jax.random.PRNGKey(1)},
+        tiny_batch(batch=2),
+    )
+    ds = _ListDataset(_records(8))
+    dl = DataLoader(ds, batch_size=8, shuffle=False, drop_last=True)
+    wd = str(tmp_path / "run")
+    train_model(model, dl, OptimConfig(total_steps=1), params=params,
+                max_epochs=1, workdir=wd, checkpoint_interval=1,
+                log_interval=1, tensorboard=False, seed=0,
+                log_per_sample=True)
+    rows = [json.loads(l) for l in open(os.path.join(wd, "metrics.jsonl"))
+            if json.loads(l).get("prefix") == "train"]
+    ps = rows[0]["per_sample_loss"]
+    assert len(ps) == 8
+    # per-sample losses are the pre-reduce quantities; their mean is not
+    # the exact masked global mean (per-sample normalization) but must be
+    # the same scale as the logged loss
+    assert abs(np.mean(ps) - rows[0]["recon_loss"]) < 0.5
