@@ -102,28 +102,104 @@ def xplane_device_time_ms(logdir: str) -> Optional[dict]:
     return None
 
 
-def traced_device_time_ms(run, iters: int = 3) -> Optional[dict]:
+def chrome_trace_device_time_ms(logdir: str) -> Optional[dict]:
+    """Parse the profiler's ``*.trace.json.gz`` (Chrome trace format) ->
+    the same device-time summary as :func:`xplane_device_time_ms`.
+
+    The chrome trace is plain JSON, so it needs no protobuf gencode — the
+    environment's ``tensorboard_plugin_profile`` ships an ``xplane_pb2``
+    that fails to import (protobuf descriptor-version mismatch), which is
+    why this parser is the primary path.  Device events live under the
+    process named ``/device:TPU:N`` on the thread named ``XLA Ops`` with
+    microsecond ``ts``/``dur`` fields."""
+    import glob
+    import gzip
+
+    paths = glob.glob(logdir + "/**/*.trace.json.gz", recursive=True)
+    if not paths:
+        return None
+    import json as _json
+
+    with gzip.open(max(paths)) as f:
+        events = _json.load(f).get("traceEvents", [])
+    dev_pids = set()
+    ops_tids = {}  # pid -> tid of its "XLA Ops" line
+    for ev in events:
+        if ev.get("ph") != "M":
+            continue
+        name = (ev.get("args") or {}).get("name", "")
+        if ev.get("name") == "process_name" and "/device:" in name:
+            dev_pids.add(ev["pid"])
+        elif ev.get("name") == "thread_name" and name == "XLA Ops":
+            ops_tids[ev["pid"]] = ev["tid"]
+    for pid in dev_pids:
+        tid = ops_tids.get(pid)
+        if tid is None:
+            continue
+        spans = [(ev["ts"], ev["dur"]) for ev in events
+                 if ev.get("ph") == "X" and ev.get("pid") == pid
+                 and ev.get("tid") == tid and "dur" in ev]
+        if not spans:
+            continue
+        busy = sum(d for _, d in spans) / 1e3  # us -> ms
+        start = min(t for t, _ in spans)
+        end = max(t + d for t, d in spans)
+        return {"busy_ms": busy, "span_ms": (end - start) / 1e3,
+                "n_ops": len(spans)}
+    return None
+
+
+_PROFILER_WEDGED = False
+
+
+def traced_device_time_ms(run, iters: int = 3,
+                          timeout_s: float = 120.0) -> Optional[dict]:
     """Trace ``iters`` calls of ``run()`` (must block on its result) into a
-    temp dir and return per-call device time (busy/span divided by iters)."""
+    temp dir and return per-call device time (busy/span divided by iters).
+
+    The whole trace runs in a watchdog thread: over the remote axon tunnel
+    ``jax.profiler.stop_trace()`` intermittently hangs forever (the remote
+    runtime's profiler session wedges — observed after a client was killed
+    mid-trace).  A hang here must degrade the caller to wall-only numbers,
+    not stall a 30-minute bench run, so on timeout we mark the profiler
+    wedged for the rest of the process (a second ``start_trace`` would
+    raise "profiler already active" anyway) and return None."""
     import shutil
     import tempfile
+    import threading
 
+    global _PROFILER_WEDGED
+    if _PROFILER_WEDGED:
+        return None
     logdir = tempfile.mkdtemp(prefix="devtime_")
-    try:
+    box = {}
+
+    def work():
         try:
             with trace(logdir):
                 for _ in range(iters):
                     run()
-            stats = xplane_device_time_ms(logdir)
+            box["stats"] = (chrome_trace_device_time_ms(logdir)
+                            or xplane_device_time_ms(logdir))
         except Exception:  # profiler unavailable over some remote backends
+            box["stats"] = None
+
+    t = threading.Thread(target=work, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    try:
+        if t.is_alive():  # wedged inside start/stop_trace or collection
+            _PROFILER_WEDGED = True
             return None
+        stats = box.get("stats")
         if stats is None:
             return None
         return {"busy_ms": stats["busy_ms"] / iters,
                 "span_ms": stats["span_ms"] / iters,
                 "n_ops": stats["n_ops"] // iters}
     finally:
-        shutil.rmtree(logdir, ignore_errors=True)
+        if not t.is_alive():
+            shutil.rmtree(logdir, ignore_errors=True)
 
 
 def enable_debug_nans(enable: bool = True):
