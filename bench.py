@@ -108,6 +108,26 @@ def flops_train_sample(cfg, audio_frames: int = 499,
 # ---------------------------------------------------------------------------
 
 
+def sync(out):
+    """Completion barrier that cannot be fooled by an early-returning
+    ``block_until_ready``.
+
+    On the experimental axon remote plugin a Pallas micro-kernel's output
+    buffer reported ready ~40us after dispatch while the chip was still
+    executing for ~35ms more (measured 2026-08-21; a subsequent host fetch
+    of the same buffer took the full device time).  Fetching 4 bytes of a
+    derived scalar forces the runtime to actually drain the execution
+    stream — the slice program queues after the timed program on the
+    in-order stream, so its transfer can only complete once the real work
+    has.  Costs one tunnel RTT per call; timing windows amortize it over
+    their ``iters``."""
+    import numpy as np
+
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf[(0,) * leaf.ndim])
+    return out
+
+
 def best_of_trials(run, rng, trials: int = 4, iters: int = 10) -> float:
     """Min mean-iteration wall time over ``trials`` windows (shared host)."""
     best = float("inf")
@@ -116,7 +136,7 @@ def best_of_trials(run, rng, trials: int = 4, iters: int = 10) -> float:
         out = None
         for i in range(iters):
             out = run(jax.random.fold_in(rng, trial * iters + i))
-        jax.block_until_ready(out)
+        sync(out)
         best = min(best, (time.perf_counter() - t0) / iters)
     return best
 
@@ -139,7 +159,7 @@ def paired_best_of_trials(run_a, run_b, rng, trials: int = 4,
             out = None
             for i in range(iters):
                 out = run(jax.random.fold_in(rng, trial * iters + i))
-            jax.block_until_ready(out)
+            sync(out)
             dt = (time.perf_counter() - t0) / iters
             if is_a:
                 best_a = min(best_a, dt)
@@ -306,6 +326,25 @@ def main():
         "mfu": mfu(fp * clips_per_sec),
     }
 
+    # timing-integrity probe: on the axon plugin block_until_ready has been
+    # observed to return before the device finished (see sync()).  Record
+    # the residual drain time a post-block sync() still has to wait — if
+    # this is ~one tunnel RTT the legacy block-based timings were sound;
+    # if it approaches the pipeline's own runtime they were dispatch-bound
+    # lies and only sync()-based rows are trustworthy.
+    out_p = run_plain(r)
+    t0 = time.perf_counter()
+    jax.block_until_ready(out_p)
+    t_block = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    sync(out_p)
+    t_resid = time.perf_counter() - t0
+    full["timing_integrity"] = {
+        "block_until_ready_ms": round(t_block * 1e3, 3),
+        "post_block_sync_residual_ms": round(t_resid * 1e3, 3),
+        "pipeline_ms": round(dt1 * 1e3, 3),
+    }
+
     # device-time (trace-derived, load-robust) next to wall throughput:
     # wall on the shared remote host includes tunnel dispatch + load swings;
     # busy_ms is what the chip actually executed (utils/profiling.py)
@@ -342,7 +381,7 @@ def main():
             "clips_per_sec": round(rate, 3),
             "gflops_per_clip": round(fp / 1e9, 1),
             "mfu": mfu(fp * rate),
-            **device_cols(lambda: jax.block_until_ready(run_b(r)),
+            **device_cols(lambda: sync(run_b(r)),
                           fp * B, B),
         }
 
@@ -382,7 +421,7 @@ def main():
         "clips_per_sec": round(32 / dtc, 3),
         "gflops_per_clip": round(fv / 1e9, 1),
         "mfu": mfu(fv * 32 / dtc),
-        **device_cols(lambda: jax.block_until_ready(run_codec_fused(r)),
+        **device_cols(lambda: sync(run_codec_fused(r)),
                       fv * 32, 32),
     }
 
@@ -400,7 +439,7 @@ def main():
         "clips_per_sec": round(32 / dtu, 3),
         "gflops_per_clip": round(fv / 1e9, 1),
         "mfu": mfu(fv * 32 / dtu),
-        **device_cols(lambda: jax.block_until_ready(run_codec(r)),
+        **device_cols(lambda: sync(run_codec(r)),
                       fv * 32, 32),
     }
 
@@ -572,7 +611,7 @@ def main():
         t0 = time.perf_counter()
         for i in range(4):
             state, logs = step(state, tb, jax.random.fold_in(rng_t, i))
-        jax.block_until_ready(logs["recon_loss"])
+        sync(logs["recon_loss"])
         best = min(best, (time.perf_counter() - t0) / 4)
     ft = flops_train_sample(cfg) * 128
     full["configs"]["train_step_b128"] = {
@@ -607,7 +646,7 @@ def main():
         t0 = time.perf_counter()
         for i in range(2):
             state, logs_k = multi(state, stb, rng_t)
-        jax.block_until_ready(logs_k["recon_loss"])
+        sync(logs_k["recon_loss"])
         best_m = min(best_m, (time.perf_counter() - t0) / (2 * K))
     full["configs"][f"train_multistep{K}_b128"] = {
         "ms_per_step": round(best_m * 1e3, 2),
@@ -633,7 +672,7 @@ def main():
         t0 = time.perf_counter()
         for i in range(2):
             state, logs_k = multi(state, stc, rng_t)
-        jax.block_until_ready(logs_k["recon_loss"])
+        sync(logs_k["recon_loss"])
         best_c = min(best_c, (time.perf_counter() - t0) / (2 * K))
     # executed FLOPs exclude the codec encode the cache removed
     ftc = ft - vae_flops_per_clip(cfg.codec, encode=True, decode=False) * 128
@@ -722,12 +761,12 @@ def train_runner_main(out_path: str):
     configs = {}
 
     probe = np.random.RandomState(0).randn(32, 1024, 1024).astype(np.float32)
-    x = jax.block_until_ready(jax.device_put(probe))  # warm the path
-    del x
+    x = sync(jax.device_put(probe))  # warm the path (sync: see --all note —
+    del x                            # block_until_ready can lie on axon)
     bw = 0.0
     for _ in range(3):
         t0 = time.perf_counter()
-        x = jax.block_until_ready(jax.device_put(probe))
+        x = sync(jax.device_put(probe))
         bw = max(bw, probe.nbytes / (time.perf_counter() - t0))
         del x
     configs["h2d_transfer"] = {

@@ -84,12 +84,19 @@ def build(variant: str, n_iters: int):
 
 
 def wall(fn, q, ctx, reps=7):
-    out = fn(q, ctx)
-    jax.block_until_ready(out)
+    # scalar fetch, NOT block_until_ready: on the axon plugin block returns
+    # ~40us after dispatch while the kernel is still executing (bench.py
+    # sync() docstring) — with it, every variant "measured" dispatch time
+    # and the slopes came out negative
+    def _sync(o):
+        np.asarray(o[0, 0])
+        return o
+
+    _sync(fn(q, ctx))
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(q, ctx))
+        _sync(fn(q, ctx))
         best = min(best, time.perf_counter() - t0)
     return best
 
@@ -98,7 +105,10 @@ def main():
     assert jax.default_backend() == "tpu", "run on the real chip"
     rng = np.random.RandomState(0)
     q = jnp.asarray(rng.randn(R, D).astype(np.float32))
-    n1, n2 = 2000, 10000
+    # counts sized so device time dominates the ~ms tunnel dispatch: dense
+    # at ~0.5 us/iter needs ~100k iters for a ~50 ms run — smaller counts
+    # put the slope inside shared-host wall noise (observed: negative)
+    n1, n2 = 20000, 100000
     min_flops = 2.0 * R * D * Dh  # per-head minimal apply FLOPs
     print(f"context-apply ({R}x{D}, H={H}, Dh={Dh}); per-iter times are "
           f"slopes between {n1} and {n2} chained iterations")

@@ -71,11 +71,17 @@ def main():
         # donation here so one state serves all calls)
         state0, _ = create_train_state(model, params,
                                        OptimConfig(total_steps=100))
+        # scalar fetch as the completion barrier (bench.py sync() docstring:
+        # block_until_ready can return before the device finishes on axon)
+        import numpy as np
+
+        def _sync(logs):
+            return float(np.asarray(logs["recon_loss"][-1]))
+
         for name, fn in (("grouped", step_grouped),
                          ("ungrouped", step_ungrouped)):
             s, logs = fn(state0, stack, rng)
-            jax.block_until_ready(logs["recon_loss"])
-            print(f"{name}: compiled, loss {float(logs['recon_loss'][-1]):.5f}")
+            print(f"{name}: compiled, loss {_sync(logs):.5f}")
         best = {"grouped": float("inf"), "ungrouped": float("inf")}
         for trial in range(4):
             for name, fn in (("grouped", step_grouped),
@@ -83,7 +89,7 @@ def main():
                 t0 = time.perf_counter()
                 for _ in range(2):
                     s, logs = fn(state0, stack, rng)
-                jax.block_until_ready(logs["recon_loss"])
+                _sync(logs)
                 best[name] = min(best[name],
                                  (time.perf_counter() - t0) / (2 * K))
         print(f"grouped:   {best['grouped'] * 1e3:7.2f} ms/step")
