@@ -251,6 +251,33 @@ def main():
         train_runner_main(args.out or "/tmp/bench_runner_rows.json")
         return
 
+    # runner-path training rows run FIRST, in a SUBPROCESS, before this
+    # process touches the chip: HBM is shared across processes, so a child
+    # spawned later would inherit the parent's resident pipelines/stacks
+    # and OOM (observed RESOURCE_EXHAUSTED at the first runner step even
+    # though the child itself was clean)
+    runner_rows = None
+    if args.all and jax.default_backend() == "tpu":
+        import os
+        import subprocess
+        import sys
+        import tempfile
+
+        sub_out = tempfile.mktemp(suffix=".json", prefix="bench_runner_")
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--train-runner-only",
+             "--out", sub_out],
+            capture_output=True, text=True, timeout=3600)
+        if proc.returncode == 0 and os.path.exists(sub_out):
+            with open(sub_out) as f:
+                runner_rows = json.load(f)["configs"]
+            os.remove(sub_out)
+        else:
+            runner_rows = {"train_runner_error": {
+                "returncode": proc.returncode,
+                "stderr_tail": proc.stderr[-2000:],
+            }}
+
     from raggesture_tpu.datasets.fixtures import full_arch_config, synthetic_batch
     from raggesture_tpu.models.architecture import (
         InferenceOptions,
@@ -683,30 +710,10 @@ def main():
         "mfu": mfu(ftc / best_c),
     }
 
-    # runner-path training rows run in a SUBPROCESS (bench.py
-    # --train-runner-only): the streaming pipeline holds ~3 batch stacks +
-    # a full TrainState in HBM, and on top of this process's resident
-    # pipelines/caches that OOM'd the chip — a child starts with a clean
-    # HBM slate and a failure there cannot lose this artifact
-    import subprocess
-    import sys
-    import tempfile
-
-    _dump(full)
-    sub_out = tempfile.mktemp(suffix=".json", prefix="bench_runner_")
-    proc = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--train-runner-only",
-         "--out", sub_out],
-        capture_output=True, text=True, timeout=3600)
-    if proc.returncode == 0 and os.path.exists(sub_out):
-        with open(sub_out) as f:
-            full["configs"].update(json.load(f)["configs"])
-        os.remove(sub_out)
-    else:
-        full["configs"]["train_runner_error"] = {
-            "returncode": proc.returncode,
-            "stderr_tail": proc.stderr[-2000:],
-        }
+    # runner-path training rows were measured by the subprocess spawned at
+    # the top of main() (clean chip HBM — see the comment there)
+    if runner_rows:
+        full["configs"].update(runner_rows)
 
     _dump(full)
     print(json.dumps(full, indent=1))

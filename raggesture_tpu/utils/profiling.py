@@ -136,15 +136,31 @@ def chrome_trace_device_time_ms(logdir: str) -> Optional[dict]:
         tid = ops_tids.get(pid)
         if tid is None:
             continue
-        spans = [(ev["ts"], ev["dur"]) for ev in events
-                 if ev.get("ph") == "X" and ev.get("pid") == pid
-                 and ev.get("tid") == tid and "dur" in ev]
+        spans = sorted((ev["ts"], ev["ts"] + ev["dur"]) for ev in events
+                       if ev.get("ph") == "X" and ev.get("pid") == pid
+                       and ev.get("tid") == tid and "dur" in ev)
         if not spans:
             continue
-        busy = sum(d for _, d in spans) / 1e3  # us -> ms
-        start = min(t for t, _ in spans)
-        end = max(t + d for t, d in spans)
-        return {"busy_ms": busy, "span_ms": (end - start) / 1e3,
+        # busy = UNION of the op intervals, not the sum of durations: for
+        # scan/while-loop programs the trace nests a whole-loop event over
+        # its per-iteration body events on the same line, and a plain sum
+        # double-counts them (observed: "device time" 1.7x the sustained
+        # wall per call on the 50-step sampling pipeline, which is
+        # physically impossible on an in-order core)
+        busy_us = 0.0
+        cur_s, cur_e = spans[0]
+        for s, e in spans[1:]:
+            if s > cur_e:
+                busy_us += cur_e - cur_s
+                cur_s, cur_e = s, e
+            else:
+                cur_e = max(cur_e, e)
+        busy_us += cur_e - cur_s
+        # after the sweep cur_e is the global last end (merged segments
+        # are disjoint and start-ordered); spans[-1][1] would miss a long
+        # early event outlasting the last-starting one
+        return {"busy_ms": busy_us / 1e3,
+                "span_ms": (cur_e - spans[0][0]) / 1e3,
                 "n_ops": len(spans)}
     return None
 

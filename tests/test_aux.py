@@ -103,3 +103,50 @@ def test_pin_platform_from_env(monkeypatch):
     monkeypatch.setenv("JAX_PLATFORMS", "")
     pin_platform_from_env()
     assert jax.config.jax_platforms == "cpu"
+
+
+def test_chrome_trace_device_time_union(tmp_path):
+    """The chrome-trace parser returns UNION busy time: scan/while-loop
+    programs nest a whole-loop event over its per-iteration body events on
+    the same "XLA Ops" line, and a plain duration sum double-counts them
+    (utils/profiling.py::chrome_trace_device_time_ms)."""
+    import gzip
+    import json
+
+    from raggesture_tpu.utils.profiling import chrome_trace_device_time_ms
+
+    events = [
+        {"ph": "M", "name": "process_name", "pid": 3,
+         "args": {"name": "/device:TPU:0"}},
+        {"ph": "M", "name": "thread_name", "pid": 3, "tid": 7,
+         "args": {"name": "XLA Ops"}},
+        # whole-loop wrapper [0, 100) nests two body events; one separate
+        # op [150, 180); an early long event outlasting a later start
+        {"ph": "X", "pid": 3, "tid": 7, "ts": 0.0, "dur": 100.0,
+         "name": "while"},
+        {"ph": "X", "pid": 3, "tid": 7, "ts": 10.0, "dur": 30.0,
+         "name": "fusion.1"},
+        {"ph": "X", "pid": 3, "tid": 7, "ts": 50.0, "dur": 40.0,
+         "name": "fusion.2"},
+        {"ph": "X", "pid": 3, "tid": 7, "ts": 150.0, "dur": 30.0,
+         "name": "fusion.3"},
+        {"ph": "X", "pid": 3, "tid": 7, "ts": 160.0, "dur": 5.0,
+         "name": "fusion.4"},
+        # host plane noise that must be ignored
+        {"ph": "M", "name": "process_name", "pid": 9,
+         "args": {"name": "/host:CPU"}},
+        {"ph": "M", "name": "thread_name", "pid": 9, "tid": 1,
+         "args": {"name": "XLA Ops"}},
+        {"ph": "X", "pid": 9, "tid": 1, "ts": 0.0, "dur": 999.0,
+         "name": "host-op"},
+    ]
+    d = tmp_path / "plugins" / "profile" / "run1"
+    d.mkdir(parents=True)
+    with gzip.open(d / "vm.trace.json.gz", "wt") as f:
+        json.dump({"traceEvents": events}, f)
+    stats = chrome_trace_device_time_ms(str(tmp_path))
+    # union: [0,100) + [150,180) = 130 us = 0.13 ms (sum would be 0.205)
+    assert stats is not None
+    assert abs(stats["busy_ms"] - 0.13) < 1e-9, stats
+    assert abs(stats["span_ms"] - 0.18) < 1e-9, stats
+    assert stats["n_ops"] == 5
