@@ -44,6 +44,12 @@ from .layers import sine_position_table, timestep_embedding
 
 STYL_SLOTS = ("sa", "xf_text", "xf_audio", "xf_spk", "ffn")
 
+# trace-time override for fused_decoder_layer's context-GEMM grouping
+# (0 = auto 128-lane groups, 1 = force dense): A/B harnesses set
+# CTX_GROUPS_OVERRIDE[0] BEFORE building a StagedGenerator so the forced
+# mode bakes into the traced pipelines; production leaves it at 0
+CTX_GROUPS_OVERRIDE = [0]
+
 
 def _ln(x, p, eps=1e-5):
     mu = jnp.mean(x, axis=-1, keepdims=True)
@@ -421,7 +427,8 @@ def fused_denoise_ctx(
             h_rows = fused_decoder_layer(
                 h_rows, m_rows, qm_rows, seg[:, :D], seg[:, D:],
                 ctx3_list[i], packed_layers[i], num_heads=c.num_heads,
-                ca_heads=c.ca_heads, batch=B)
+                ca_heads=c.ca_heads, batch=B,
+                ctx_groups=CTX_GROUPS_OVERRIDE[0])
         h = h_rows.reshape(B, Tp, D)[:, :T, :]
         return _dense(h, p["out"])
 

@@ -575,7 +575,8 @@ def pack_decoder_layer(layer_params: dict,
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "ca_heads",
-                                             "batch", "interpret"))
+                                             "batch", "interpret",
+                                             "ctx_groups"))
 def fused_decoder_layer(
     x: jnp.ndarray,           # (B*Tp, D) row-merged hidden states
     src_mask: jnp.ndarray,    # (B*Tp, 1)
@@ -588,6 +589,8 @@ def fused_decoder_layer(
     ca_heads: int = 16,
     batch: int = 2,
     interpret: bool = False,
+    ctx_groups: int = 0,      # 0 = auto (128-lane groups when legal),
+                              # 1 = force dense (D, D) context GEMMs
 ) -> jnp.ndarray:
     """ONE Pallas kernel for an entire DecoderLayer sampling step:
 
@@ -652,13 +655,43 @@ def fused_decoder_layer(
         seg_ca = (seg if ca_heads == num_heads
                   else _head_block_mask(D, D // ca_heads))
 
+        # every context-shaped GEMM here multiplies by a BLOCK-DIAGONAL
+        # (D, D) operand (the head mask, the masked kᵀv context, or the
+        # cached cross context) — executing it dense runs H=16x the
+        # minimal per-head FLOPs.  When the head blocks tile into 128-lane
+        # groups, the same math runs as NG diagonal (GS, GS) GEMMs at 4x
+        # fewer FLOPs and measures 2.09x faster (tools/dev/ctx_flop_tax.py;
+        # the fully per-head retiling is 0.63x — Mosaic pads sub-tile
+        # operands to (8, 128) and starves the MXU).  Mathematically
+        # identical to the dense path (the eliminated blocks are exact
+        # zeros); numerically within accumulation-order ulps — a shorter
+        # contraction splits the nonzero terms across the dot emitter's
+        # accumulator lanes differently (measured <=5e-7 at f32).
+        if ctx_groups > 1:        # forced group count (CPU tests)
+            NG = ctx_groups
+            GS = D // NG
+        else:                     # auto: one group per 128-lane tile
+            GS = 128
+            NG = D // GS if D % GS == 0 else 1
+        grouped = (ctx_groups != 1 and NG > 1 and D % NG == 0
+                   and GS % Dh == 0 and GS % (D // ca_heads) == 0)
+        gsl = lambda i: slice(i * GS, (i + 1) * GS)
+
+        def diag_mm(a, bd):
+            """a @ bd for block-diagonal bd, via NG diagonal blocks."""
+            if not grouped:
+                return mm(a, bd)
+            return jnp.concatenate(
+                [mm(a[:, gsl(i)], bd[gsl(i), gsl(i)]) for i in range(NG)],
+                axis=1)
+
         # ---- self attention ----
         xn = center(xb) * V(0) + V(1)
         q = mm(xn, M(0)) + V(2)
         k = mm(xn, M(1)) + V(3) + (1.0 - m) * NEG_MASK
         v = (mm(xn, M(2)) + V(4)) * m
         qe = jnp.exp(q - jnp.max(q, axis=-1, keepdims=True))
-        q_sm = qe / jnp.maximum(mm(qe, seg.astype(cd)), 1e-30)
+        q_sm = qe / jnp.maximum(diag_mm(qe, seg.astype(cd)), 1e-30)
         # per-batch time softmax via per-SEGMENT column maxes and sums
         # (static row slices, f32 VPU).  A global max would be exact in
         # real arithmetic but underflows a segment to 0/0 NaN when its
@@ -673,8 +706,18 @@ def fused_decoder_layer(
         ys = []
         for b in range(bpb):
             sl = slice(b * Tp, (b + 1) * Tp)
-            ctx = mm(k_sm[sl].T, v[sl].astype(cd)) * seg
-            ys.append(mm(q_sm[sl], ctx.astype(cd)))
+            if grouped:
+                # build only the diagonal (GS, GS) context blocks — the
+                # dense kᵀv entries outside them are zeroed by seg anyway
+                yb = []
+                for i in range(NG):
+                    ctx_i = mm(k_sm[sl, gsl(i)].T,
+                               v[sl, gsl(i)].astype(cd)) * seg[gsl(i), gsl(i)]
+                    yb.append(mm(q_sm[sl, gsl(i)], ctx_i.astype(cd)))
+                ys.append(jnp.concatenate(yb, axis=1))
+            else:
+                ctx = mm(k_sm[sl].T, v[sl].astype(cd)) * seg
+                ys.append(mm(q_sm[sl], ctx.astype(cd)))
         y = jnp.concatenate(ys, axis=0)
         h1 = xb + stylize(y, V(5), V(6), M(3), V(7), 0)
 
@@ -686,11 +729,20 @@ def fused_decoder_layer(
             xn = hc * V(base) + V(base + 1)
             q = mm(xn, M(4 + 2 * i)) + V(base + 2)
             qe = jnp.exp(q - jnp.max(q, axis=-1, keepdims=True))
-            q_sm = qe / jnp.maximum(mm(qe, seg_ca.astype(cd)), 1e-30)
+            q_sm = qe / jnp.maximum(diag_mm(qe, seg_ca.astype(cd)), 1e-30)
             ys = []
             for b in range(bpb):
                 sl = slice(b * Tp, (b + 1) * Tp)
-                ys.append(mm(q_sm[sl], ctx_ref[b, i]))
+                if grouped:
+                    # cached contexts are stored dense but exactly
+                    # block-diagonal (fused_denoiser.cross_context masks
+                    # off-head blocks to 0): static diagonal slices apply
+                    ctx_bi = ctx_ref[b, i]
+                    ys.append(jnp.concatenate(
+                        [mm(q_sm[sl, gsl(g)], ctx_bi[gsl(g), gsl(g)])
+                         for g in range(NG)], axis=1))
+                else:
+                    ys.append(mm(q_sm[sl], ctx_ref[b, i]))
             y = jnp.concatenate(ys, axis=0)
             y = y + (1.0 - qm_ref[:, i:i + 1]) * NEG_MASK
             o_i = h1 + stylize(y, V(base + 3), V(base + 4), M(5 + 2 * i),

@@ -351,6 +351,29 @@ def test_fused_decoder_layer_kernel_matches_xla():
     np.testing.assert_allclose(np.asarray(out)[valid], np.asarray(ref)[valid],
                                atol=3e-5)
 
+    # grouped context path (ctx_groups=N forces N diagonal groups; auto
+    # needs D % 128 == 0, unreachable at this test size): the eliminated
+    # blocks are exact zeros, so grouped == dense up to accumulation-order
+    # ulps (the shorter contraction splits nonzeros across the dot
+    # emitter's accumulator lanes differently; measured <=5e-7)
+    out_dense = fused_decoder_layer(
+        rows(x), rows(src_mask), rows(qm3),
+        jnp.stack([adaln[(0, s)][0][0] for s in STYL_SLOTS]),
+        jnp.stack([adaln[(0, s)][1][0] for s in STYL_SLOTS]),
+        jnp.stack([ctx[(0, k)] for k in COND_KEYS], axis=1), packed,
+        num_heads=cfg.num_heads, ca_heads=cfg.ca_heads, batch=B,
+        interpret=True, ctx_groups=1)
+    for ng in (2, 4):
+        out_g = fused_decoder_layer(
+            rows(x), rows(src_mask), rows(qm3),
+            jnp.stack([adaln[(0, s)][0][0] for s in STYL_SLOTS]),
+            jnp.stack([adaln[(0, s)][1][0] for s in STYL_SLOTS]),
+            jnp.stack([ctx[(0, k)] for k in COND_KEYS], axis=1), packed,
+            num_heads=cfg.num_heads, ca_heads=cfg.ca_heads, batch=B,
+            interpret=True, ctx_groups=ng)
+        np.testing.assert_allclose(np.asarray(out_g), np.asarray(out_dense),
+                                   atol=2e-6, err_msg=f"ctx_groups={ng}")
+
 
 def test_fused_decoder_layer_kernel_grid_over_pairs():
     """B=4 (grid of two batch pairs, streamed contexts) == two independent

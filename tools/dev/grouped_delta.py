@@ -3,7 +3,7 @@
 The b65e5f8 snapshot landed ``grouped_linear_attention`` in the shipped
 denoiser path (models/denoiser.py:154,185) without its own measured
 number.  This harness isolates it: two multi-step (k=8) latent-cache
-train steps at batch 128 — one traced with grouping active (the shipped
+train steps at batch 64 — one traced with grouping active (the shipped
 TPU path), one with ``group_size`` forced to 1 (the per-head reference
 einsums) — timed as alternating-trial minima in one process so host-load
 drift cancels (docs/PERFORMANCE.md methodology).
@@ -42,7 +42,11 @@ def main():
     b1 = synthetic_batch(seed=0, batch=1, frames=cfg.codec.num_frames,
                          audio_frames=499)
     params = init_params(model, jax.random.PRNGKey(0), b1)
-    tb = synthetic_batch(seed=1, batch=128, frames=cfg.codec.num_frames,
+    # batch 64, not the bench's 128: this harness keeps TWO multi-step
+    # executables + states resident for paired trials, and 128 exceeds
+    # HBM even with donated states; the grouped/ungrouped RATIO is the
+    # deliverable and is batch-stable
+    tb = synthetic_batch(seed=1, batch=64, frames=cfg.codec.num_frames,
                          audio_frames=499)
     mu, logvar = jax.jit(lambda p, b: model.apply(
         p, b, method=model.encode_motion_dist))(params, tb)
@@ -62,15 +66,27 @@ def main():
     # two separately traced steps: grouping is a trace-time decision
     # (group_size is called while tracing), so patching it while building
     # the second jit bakes the per-head reference einsums in
-    step_grouped = jax.jit(make_multi_train_step(model, tx, sched))
+    # donate the state: two resident multi-step executables at batch 128
+    # WITHOUT donation (double-buffered states + workspace) exceed the
+    # chip's HBM (observed RESOURCE_EXHAUSTED); each variant evolves its
+    # own state in place instead
+    step_grouped = jax.jit(make_multi_train_step(model, tx, sched),
+                           donate_argnums=(0,))
     orig = la.group_size
     la.group_size = lambda *a, **k: 1
     try:
-        step_ungrouped = jax.jit(make_multi_train_step(model, tx, sched))
-        # compile both before timing (each needs its own state copy — no
-        # donation here so one state serves all calls)
-        state0, _ = create_train_state(model, params,
-                                       OptimConfig(total_steps=100))
+        step_ungrouped = jax.jit(make_multi_train_step(model, tx, sched),
+                                 donate_argnums=(0,))
+        # each state gets its OWN copy of the param buffers: TrainStates
+        # built from the same tree alias the same device arrays, and the
+        # first donated call would invalidate the other variant's params
+        # (async INVALID_ARGUMENT at the next fetch)
+        copy_tree = jax.jit(lambda t: jax.tree_util.tree_map(jnp.copy, t))
+        states = {
+            name: create_train_state(model, copy_tree(params),
+                                     OptimConfig(total_steps=100))[0]
+            for name in ("grouped", "ungrouped")
+        }
         # scalar fetch as the completion barrier (bench.py sync() docstring:
         # block_until_ready can return before the device finishes on axon)
         import numpy as np
@@ -80,7 +96,7 @@ def main():
 
         for name, fn in (("grouped", step_grouped),
                          ("ungrouped", step_ungrouped)):
-            s, logs = fn(state0, stack, rng)
+            states[name], logs = fn(states[name], stack, rng)
             print(f"{name}: compiled, loss {_sync(logs):.5f}")
         best = {"grouped": float("inf"), "ungrouped": float("inf")}
         for trial in range(4):
@@ -88,7 +104,7 @@ def main():
                              ("ungrouped", step_ungrouped)):
                 t0 = time.perf_counter()
                 for _ in range(2):
-                    s, logs = fn(state0, stack, rng)
+                    states[name], logs = fn(states[name], stack, rng)
                 _sync(logs)
                 best[name] = min(best[name],
                                  (time.perf_counter() - t0) / (2 * K))
