@@ -819,45 +819,70 @@ def train_runner_main(out_path: str):
             return min(warm) / len(batches)
         finally:
             shutil.rmtree(workdir, ignore_errors=True)
+            # each train_model call builds fresh jitted steps whose
+            # executables pin their baked-in constants in HBM via jax's
+            # global jit cache; without clearing, the third config in a
+            # row RESOURCE_EXHAUSTs (recompiles come from the persistent
+            # compilation cache, so this costs seconds, not minutes)
+            jax.clear_caches()
+            gc.collect()
 
     n_stream = 32  # 4 k=8 dispatches per epoch
-    plain_batches = [tb] * n_stream
-    cached_host = {k: v for k, v in tb.items()
+    # the PLAIN streaming row runs at device batch 64: without the latent
+    # cache each k=8 stack carries the full 4-part motion + f32 workspace
+    # for the codec-encode forward at batch 128, and stream staging
+    # (queue + worker-held + current stack) on top of the b128 backward
+    # RESOURCE_EXHAUSTs a v5e even at device_prefetch=1 — the b128
+    # streaming envelope REQUIRES the latent cache (docs/PERFORMANCE.md)
+    tb64 = {k: np.asarray(v)[:64] for k, v in tb.items()}
+    plain_batches = [tb64] * n_stream
+    # latcache rows also run at 64: even the conditions-only b128 stream
+    # (3 staged k=8 stacks ~3.6 GB + state + backward workspace) hits
+    # RESOURCE_EXHAUSTED on this shared chip — the HBM the runner can
+    # claim here is far below the chip's nominal 16 GB
+    cached_host = {k: np.asarray(v)[:64] for k, v in tb.items()
                    if k not in ("motion_upper", "motion_lower", "motion_face",
                                 "motion_hands", "trans", "facial", "contact")}
-    cached_host["latent_mu"] = mu_np
-    cached_host["latent_logvar"] = logvar_np
+    cached_host["latent_mu"] = mu_np[:64]
+    cached_host["latent_logvar"] = logvar_np[:64]
     cache_batches = [cached_host] * n_stream
 
     # alternate prefetch on/off so both see the same load regime (the
-    # paired-trial principle at epoch granularity)
-    best_p2 = best_p0 = best_plain = float("inf")
-    for _ in range(2):
-        best_plain = min(best_plain, runner_ms_per_step(plain_batches, 2))
-        best_p2 = min(best_p2, runner_ms_per_step(cache_batches, 2))
+    # paired-trial principle at epoch granularity); print each
+    # invocation's per-step time so a killed run is reconstructable
+    best_p1 = best_p0 = best_plain = float("inf")
+    for rep in range(2):
+        best_plain = min(best_plain, runner_ms_per_step(plain_batches, 1))
+        print(f"rep {rep} plain_p1: {best_plain * 1e3:.2f} ms/step",
+              flush=True)
+        best_p1 = min(best_p1, runner_ms_per_step(cache_batches, 1))
+        print(f"rep {rep} latcache_p1: {best_p1 * 1e3:.2f} ms/step",
+              flush=True)
         best_p0 = min(best_p0, runner_ms_per_step(cache_batches, 0))
+        print(f"rep {rep} latcache_p0: {best_p0 * 1e3:.2f} ms/step",
+              flush=True)
     step_mb = sum(np.asarray(v).nbytes for k, v in cached_host.items()
                   if k in ("audio", "word")) / 2 / 1e6  # bf16 on the wire
-    configs[f"train_runner_ms{K}_b128_prefetch2"] = {
+    configs[f"train_runner_ms{K}_b64_prefetch1"] = {
         "ms_per_step": round(best_plain * 1e3, 2),
-        "samples_per_sec": round(128 / best_plain, 1),
-        "gflops_per_step": round(ft / 1e9, 1),
-        "mfu": mfu(ft / best_plain),
+        "samples_per_sec": round(64 / best_plain, 1),
+        "gflops_per_step": round(ft / 2 / 1e9, 1),
+        "mfu": mfu(ft / 2 / best_plain),
     }
-    configs[f"train_runner_ms{K}_latcache_b128_prefetch2"] = {
-        "ms_per_step": round(best_p2 * 1e3, 2),
-        "samples_per_sec": round(128 / best_p2, 1),
-        "gflops_per_step": round(ftc / 1e9, 1),
-        "mfu": mfu(ftc / best_p2),
+    configs[f"train_runner_ms{K}_latcache_b64_prefetch1"] = {
+        "ms_per_step": round(best_p1 * 1e3, 2),
+        "samples_per_sec": round(64 / best_p1, 1),
+        "gflops_per_step": round(ftc / 2 / 1e9, 1),
+        "mfu": mfu(ftc / 2 / best_p1),
         "condition_mbytes_per_step": round(step_mb, 1),
         "transfer_floor_ms": round(step_mb * 1e6 / bw * 1e3, 2)
         if bw else None,
     }
-    configs[f"train_runner_ms{K}_latcache_b128_prefetch0"] = {
+    configs[f"train_runner_ms{K}_latcache_b64_prefetch0"] = {
         "ms_per_step": round(best_p0 * 1e3, 2),
-        "samples_per_sec": round(128 / best_p0, 1),
-        "gflops_per_step": round(ftc / 1e9, 1),
-        "mfu": mfu(ftc / best_p0),
+        "samples_per_sec": round(64 / best_p0, 1),
+        "gflops_per_step": round(ftc / 2 / 1e9, 1),
+        "mfu": mfu(ftc / 2 / best_p0),
     }
     with open(out_path, "w") as f:
         json.dump({"configs": configs}, f, indent=1)

@@ -97,7 +97,10 @@ def train_model(
     val_max_batches: int = 8,
     schedule_sampler: str = "uniform",
     multi_step: int = 1,
-    device_prefetch: int = 2,
+    # one step ahead is full double buffering; deeper queues hold extra
+    # staged (k, batch, ...) stacks in HBM (queue + worker-held + current)
+    # and depth 2 at the flagship batch-128 config RESOURCE_EXHAUSTs a v5e
+    device_prefetch: int = 1,
     log_per_sample: bool = False,
 ) -> TrainState:
     """Run the epoch loop; returns the final TrainState (host-fetched).

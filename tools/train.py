@@ -57,7 +57,7 @@ def parse_args():
                         "stacked batch; amortizes dispatch marshaling — "
                         "~2x wall on remote-hosted TPUs). Default: "
                         "runner.multi_step from the config, else 1")
-    p.add_argument("--device-prefetch", type=int, default=2,
+    p.add_argument("--device-prefetch", type=int, default=1,
                    help="device-side double-buffer depth: batches staged "
                         "(stacked + device_put) ahead of dispatch in a "
                         "background thread; 0 disables")
