@@ -237,6 +237,10 @@ def main():
                     help="measure only the runner-path training rows and "
                          "write them to --out (spawned by --all as a "
                          "subprocess for a clean-HBM measurement)")
+    ap.add_argument("--skip-runner", action="store_true",
+                    help="with --all: skip the ~50-min runner-path "
+                         "subprocess (existing train_runner_* rows in the "
+                         "artifact are preserved)")
     args = ap.parse_args()
     from raggesture_tpu.utils.env import setup_compilation_cache
 
@@ -257,7 +261,7 @@ def main():
     # and OOM (observed RESOURCE_EXHAUSTED at the first runner step even
     # though the child itself was clean)
     runner_rows = None
-    if args.all and jax.default_backend() == "tpu":
+    if args.all and not args.skip_runner and jax.default_backend() == "tpu":
         import os
         import subprocess
         import sys
@@ -329,6 +333,20 @@ def main():
     out_path = args.out or ("docs/BENCH_FULL.json" if on_tpu
                             else "docs/BENCH_FULL.cpu.json")
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+
+    # snapshot the previous artifact's runner rows BEFORE the first
+    # incremental _dump truncates the file (--skip-runner carry-over)
+    prev_runner_rows, prev_runner_note = {}, None
+    if args.skip_runner and os.path.exists(out_path):
+        try:
+            with open(out_path) as f:
+                prev = json.load(f)
+            prev_runner_rows = {
+                k: v for k, v in prev.get("configs", {}).items()
+                if k.startswith("train_runner") or k == "h2d_transfer"}
+            prev_runner_note = prev.get("runner_note")
+        except Exception:
+            pass
 
     def _dump(d):
         # incremental: a crash in a later section must not lose the rows
@@ -641,12 +659,33 @@ def main():
         sync(logs["recon_loss"])
         best = min(best, (time.perf_counter() - t0) / 4)
     ft = flops_train_sample(cfg) * 128
+
+    # trace-backed device time for a train call: the step donates its
+    # state, so the traced callable must chain the evolving state through
+    # a holder (a dead donated buffer surfaces as an async error)
+    def train_device_cols(run_call, flops_per_step, k):
+        dev = (traced_device_time_ms(run_call) if on_tpu else None)
+        if dev is None:
+            return {}
+        per_step_s = dev["busy_ms"] / k / 1e3
+        return {"device_ms_per_step": round(per_step_s * 1e3, 2),
+                "device_mfu": mfu(flops_per_step / per_step_s)}
+
+    _st = [state]
+
+    def _run_step():
+        s, lg = step(_st[0], tb, rng_t)
+        _st[0] = s
+        sync(lg["recon_loss"])
+
     full["configs"]["train_step_b128"] = {
         "ms_per_step": round(best * 1e3, 2),
         "samples_per_sec": round(128 / best, 1),
         "gflops_per_step": round(ft / 1e9, 1),
         "mfu": mfu(ft / best),
+        **train_device_cols(_run_step, ft, 1),
     }
+    state = _st[0]
 
     # multi-step dispatch (runner multi_step=8, the flagship-config default):
     # 8 optimizer steps per jitted call amortize the ~3000-leaf argument
@@ -675,12 +714,21 @@ def main():
             state, logs_k = multi(state, stb, rng_t)
         sync(logs_k["recon_loss"])
         best_m = min(best_m, (time.perf_counter() - t0) / (2 * K))
+    _st = [state]
+
+    def _run_multi(st=stb):
+        s, lg = multi(_st[0], st, rng_t)
+        _st[0] = s
+        sync(lg["recon_loss"])
+
     full["configs"][f"train_multistep{K}_b128"] = {
         "ms_per_step": round(best_m * 1e3, 2),
         "samples_per_sec": round(128 / best_m, 1),
         "gflops_per_step": round(ft / 1e9, 1),
         "mfu": mfu(ft / best_m),
+        **train_device_cols(_run_multi, ft, K),
     }
+    state = _st[0]
 
     # latent cache + multi-step (train.py --latent-cache + multi_step=8):
     # the frozen-codec encode (~25 GFLOP/sample) leaves the step entirely —
@@ -703,17 +751,26 @@ def main():
         best_c = min(best_c, (time.perf_counter() - t0) / (2 * K))
     # executed FLOPs exclude the codec encode the cache removed
     ftc = ft - vae_flops_per_clip(cfg.codec, encode=True, decode=False) * 128
+    _st = [state]
     full["configs"][f"train_multistep{K}_latcache_b128"] = {
         "ms_per_step": round(best_c * 1e3, 2),
         "samples_per_sec": round(128 / best_c, 1),
         "gflops_per_step": round(ftc / 1e9, 1),
         "mfu": mfu(ftc / best_c),
+        **train_device_cols(lambda: _run_multi(stc), ftc, K),
     }
+    state = _st[0]
 
     # runner-path training rows were measured by the subprocess spawned at
-    # the top of main() (clean chip HBM — see the comment there)
+    # the top of main() (clean chip HBM — see the comment there); with
+    # --skip-runner, the previous artifact's runner rows (snapshotted
+    # before the first incremental _dump overwrote the file) carry over
     if runner_rows:
         full["configs"].update(runner_rows)
+    elif prev_runner_rows:
+        full["configs"].update(prev_runner_rows)
+        if prev_runner_note:
+            full["runner_note"] = prev_runner_note
 
     _dump(full)
     print(json.dumps(full, indent=1))
