@@ -47,8 +47,11 @@ STYL_SLOTS = ("sa", "xf_text", "xf_audio", "xf_spk", "ffn")
 # trace-time override for fused_decoder_layer's context-GEMM grouping
 # (0 = auto 128-lane groups, 1 = force dense): A/B harnesses set
 # CTX_GROUPS_OVERRIDE[0] BEFORE building a StagedGenerator so the forced
-# mode bakes into the traced pipelines; production leaves it at 0
+# mode bakes into the traced pipelines; production leaves it at 0.
+# LN_FOLD_OVERRIDE[0] likewise A/Bs the pack-time LayerNorm fold
+# (pack_decoder_layer fold_ln + the kernel's ln_folded, kept in sync).
 CTX_GROUPS_OVERRIDE = [0]
+LN_FOLD_OVERRIDE = [False]
 
 
 def _ln(x, p, eps=1e-5):
@@ -428,7 +431,8 @@ def fused_denoise_ctx(
                 h_rows, m_rows, qm_rows, seg[:, :D], seg[:, D:],
                 ctx3_list[i], packed_layers[i], num_heads=c.num_heads,
                 ca_heads=c.ca_heads, batch=B,
-                ctx_groups=CTX_GROUPS_OVERRIDE[0])
+                ctx_groups=CTX_GROUPS_OVERRIDE[0],
+                ln_folded=LN_FOLD_OVERRIDE[0])
         h = h_rows.reshape(B, Tp, D)[:, :T, :]
         return _dense(h, p["out"])
 
@@ -541,5 +545,6 @@ def pack_layers(pd: Dict, dcfg: DenoiserConfig, enabled: bool = True):
         return None
     from ..ops.pallas.linear_attention_kernel import pack_decoder_layer
 
-    return tuple(pack_decoder_layer(pd[f"block_{i}"])
+    return tuple(pack_decoder_layer(pd[f"block_{i}"],
+                                    fold_ln=LN_FOLD_OVERRIDE[0])
                  for i in range(dcfg.num_layers))

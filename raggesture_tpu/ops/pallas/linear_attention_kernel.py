@@ -508,7 +508,8 @@ def _erf_poly(v):
 
 
 def pack_decoder_layer(layer_params: dict,
-                       bf16: bool = True) -> dict:
+                       bf16: bool = True,
+                       fold_ln: bool = False) -> dict:
     """Pack one DecoderLayer's parameters into FIVE arrays for
     :func:`fused_decoder_layer`.
 
@@ -534,6 +535,17 @@ def pack_decoder_layer(layer_params: dict,
     mats/w1/w2 are stored bf16 by default: Mosaic's default f32 matmul
     rounds MXU inputs to bf16 anyway (verified bit-identical on v5e), so
     this halves VMEM/bandwidth at zero numeric cost.
+
+    ``fold_ln=True`` folds the pre-attention LayerNorm affines into the
+    projection weights: ``(c*g + b) @ W == c @ (diag(g) W) + b @ W``, so
+    the q/k/v (and each CA's q) projections consume the *centered*
+    activations directly and the kernel skips 8 (R, D) VPU passes per
+    layer (``fused_decoder_layer(..., ln_folded=True)`` must match).
+    Measured 0.985x (slightly SLOWER) on batch-1 sampling
+    (tools/dev/ln_fold_delta.py, 2026-08-21) — the removed VPU passes
+    were hidden under MXU time — so the default stays False; the folded
+    ln slots in ``vecs`` are written as identity (scale 1, shift 0) so
+    an unfolded kernel still computes correctly against a folded pack.
     """
     cd = jnp.bfloat16 if bf16 else jnp.float32
     sa = layer_params["sa_block"]
@@ -547,17 +559,34 @@ def pack_decoder_layer(layer_params: dict,
                 p["proj_out"]["out_proj"]["kernel"],
                 p["proj_out"]["out_proj"]["bias"])
 
+    f32 = lambda a: jnp.asarray(a, jnp.float32)
+
+    def fold(norm, kernels, biases):
+        """Fold ln (g, b) into projections: W' = diag(g) W, b' = b@W + bias.
+        Returns (identity ln vecs, folded kernels, folded biases)."""
+        g, b = f32(norm["scale"]), f32(norm["bias"])
+        ks = [g[:, None] * f32(w) for w in kernels]
+        bs = [b @ f32(w) + f32(bias) for w, bias in zip(kernels, biases)]
+        return ([jnp.ones_like(g), jnp.zeros_like(b)], ks, bs)
+
     sa_sn_s, sa_sn_b, sa_wo, sa_bo = styl(sa)
-    vec_list = [sa["norm"]["scale"], sa["norm"]["bias"],
-                sa["query"]["bias"], sa["key"]["bias"], sa["value"]["bias"],
-                sa_sn_s, sa_sn_b, sa_bo]
-    mat_list = [sa["query"]["kernel"], sa["key"]["kernel"],
-                sa["value"]["kernel"], sa_wo]
+    sa_ks = [sa["query"]["kernel"], sa["key"]["kernel"], sa["value"]["kernel"]]
+    sa_bs = [sa["query"]["bias"], sa["key"]["bias"], sa["value"]["bias"]]
+    if fold_ln:
+        sa_ln, sa_ks, sa_bs = fold(sa["norm"], sa_ks, sa_bs)
+    else:
+        sa_ln = [sa["norm"]["scale"], sa["norm"]["bias"]]
+    vec_list = sa_ln + sa_bs + [sa_sn_s, sa_sn_b, sa_bo]
+    mat_list = sa_ks + [sa_wo]
     for p_ca in cas:
         sn_s, sn_b, wo, bo = styl(p_ca)
-        vec_list += [p_ca["norm"]["scale"], p_ca["norm"]["bias"],
-                     p_ca["query"]["bias"], sn_s, sn_b, bo]
-        mat_list += [p_ca["query"]["kernel"], wo]
+        ca_ks, ca_bs = [p_ca["query"]["kernel"]], [p_ca["query"]["bias"]]
+        if fold_ln:
+            ca_ln, ca_ks, ca_bs = fold(p_ca["norm"], ca_ks, ca_bs)
+        else:
+            ca_ln = [p_ca["norm"]["scale"], p_ca["norm"]["bias"]]
+        vec_list += ca_ln + ca_bs + [sn_s, sn_b, bo]
+        mat_list += ca_ks + [wo]
     vec_list.append(mix["bias"])
     wmix = jnp.asarray(mix["kernel"])
     mat_list += [wmix[0 * D:1 * D], wmix[1 * D:2 * D], wmix[2 * D:3 * D]]
@@ -576,7 +605,7 @@ def pack_decoder_layer(layer_params: dict,
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "ca_heads",
                                              "batch", "interpret",
-                                             "ctx_groups"))
+                                             "ctx_groups", "ln_folded"))
 def fused_decoder_layer(
     x: jnp.ndarray,           # (B*Tp, D) row-merged hidden states
     src_mask: jnp.ndarray,    # (B*Tp, 1)
@@ -591,6 +620,9 @@ def fused_decoder_layer(
     interpret: bool = False,
     ctx_groups: int = 0,      # 0 = auto (128-lane groups when legal),
                               # 1 = force dense (D, D) context GEMMs
+    ln_folded: bool = False,  # pack used fold_ln: skip the pre-attention
+                              # LN affines (pack_decoder_layer docstring;
+                              # measured-neutral experiment, default off)
 ) -> jnp.ndarray:
     """ONE Pallas kernel for an entire DecoderLayer sampling step:
 
@@ -643,8 +675,12 @@ def fused_decoder_layer(
             return (v - mu) * jax.lax.rsqrt(var + 1e-5)
 
         def stylize(y, sn_s, sn_b, wo, bo, k):
-            h = center(y) * sn_s + sn_b
-            h = h * (1.0 + sc_ref[k:k + 1, :]) + sh_ref[k:k + 1, :]
+            # styl-norm affine and adaLN affine combined into ONE (R, D)
+            # pass: (c*s + b)*(1+sc) + sh == c*(s*(1+sc)) + (b*(1+sc)+sh),
+            # with the combine itself on (1, D) vectors
+            es = sn_s * (1.0 + sc_ref[k:k + 1, :])
+            eb = sn_b * (1.0 + sc_ref[k:k + 1, :]) + sh_ref[k:k + 1, :]
+            h = center(y) * es + eb
             h = h * jax.nn.sigmoid(h)
             return mm(h, wo) + bo
 
@@ -686,7 +722,7 @@ def fused_decoder_layer(
                 axis=1)
 
         # ---- self attention ----
-        xn = center(xb) * V(0) + V(1)
+        xn = center(xb) if ln_folded else center(xb) * V(0) + V(1)
         q = mm(xn, M(0)) + V(2)
         k = mm(xn, M(1)) + V(3) + (1.0 - m) * NEG_MASK
         v = (mm(xn, M(2)) + V(4)) * m
@@ -726,7 +762,7 @@ def fused_decoder_layer(
         acc = None
         for i in range(3):
             base = 8 + 6 * i
-            xn = hc * V(base) + V(base + 1)
+            xn = hc if ln_folded else hc * V(base) + V(base + 1)
             q = mm(xn, M(4 + 2 * i)) + V(base + 2)
             qe = jnp.exp(q - jnp.max(q, axis=-1, keepdims=True))
             q_sm = qe / jnp.maximum(diag_mm(qe, seg_ca.astype(cd)), 1e-30)

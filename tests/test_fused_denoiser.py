@@ -374,6 +374,21 @@ def test_fused_decoder_layer_kernel_matches_xla():
         np.testing.assert_allclose(np.asarray(out_g), np.asarray(out_dense),
                                    atol=2e-6, err_msg=f"ctx_groups={ng}")
 
+    # LN-fold A/B (measured-neutral experiment, default OFF): a
+    # fold_ln=True pack through the ln_folded kernel must match the
+    # default unfolded path to reassociation ulps ((c*g+b)@W vs
+    # c@(gW) + b@W differ only in fp grouping)
+    packed_f = pack_decoder_layer(blk, bf16=False, fold_ln=True)
+    out_f = fused_decoder_layer(
+        rows(x), rows(src_mask), rows(qm3),
+        jnp.stack([adaln[(0, s)][0][0] for s in STYL_SLOTS]),
+        jnp.stack([adaln[(0, s)][1][0] for s in STYL_SLOTS]),
+        jnp.stack([ctx[(0, k)] for k in COND_KEYS], axis=1), packed_f,
+        num_heads=cfg.num_heads, ca_heads=cfg.ca_heads, batch=B,
+        interpret=True, ln_folded=True)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_dense),
+                               atol=1e-5)
+
 
 def test_fused_decoder_layer_kernel_grid_over_pairs():
     """B=4 (grid of two batch pairs, streamed contexts) == two independent
