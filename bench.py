@@ -267,12 +267,13 @@ def main():
         import sys
         import tempfile
 
-        sub_out = tempfile.mktemp(suffix=".json", prefix="bench_runner_")
+        fd, sub_out = tempfile.mkstemp(suffix=".json", prefix="bench_runner_")
+        os.close(fd)  # subprocess truncates-and-writes the reserved name
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--train-runner-only",
              "--out", sub_out],
             capture_output=True, text=True, timeout=3600)
-        if proc.returncode == 0 and os.path.exists(sub_out):
+        if proc.returncode == 0 and os.path.getsize(sub_out) > 0:
             with open(sub_out) as f:
                 runner_rows = json.load(f)["configs"]
             os.remove(sub_out)
@@ -341,8 +342,12 @@ def main():
         try:
             with open(out_path) as f:
                 prev = json.load(f)
+            # stamp rows reused from an older artifact: they were measured
+            # under a different load regime (and possibly different
+            # batch/prefetch settings) than this run's fresh rows
             prev_runner_rows = {
-                k: v for k, v in prev.get("configs", {}).items()
+                k: dict(v, carried_over=True) if isinstance(v, dict) else v
+                for k, v in prev.get("configs", {}).items()
                 if k.startswith("train_runner") or k == "h2d_transfer"}
             prev_runner_note = prev.get("runner_note")
         except Exception:
@@ -358,7 +363,11 @@ def main():
             "best-of-4x10 trial minima in one process (shared TPU host, "
             "docs/PERFORMANCE.md); pct_of_plain ratios use plain/guided "
             "timings interleaved in the same trial windows "
-            "(paired_best_of_trials) so host load drift cancels; "
+            "(paired_best_of_trials) so host load drift cancels — each "
+            "guided row records its own denominator as "
+            "paired_plain_clips_per_sec (absolute clips_per_sec across "
+            "rows come from different load windows and are NOT "
+            "comparable); "
             "MFU = analytic matmul FLOPs "
             "(bench.py flop model) / 197 TFLOP/s v5e bf16 peak. "
             "BASELINE config 4 (discourse guidance) is compute-identical "
@@ -395,10 +404,15 @@ def main():
     # busy_ms is what the chip actually executed (utils/profiling.py)
     from raggesture_tpu.utils.profiling import traced_device_time_ms
 
+    from raggesture_tpu.utils.profiling import profiler_wedged
+
     def device_cols(run_blocking, per_call_flops, n_per_call):
         dev = traced_device_time_ms(run_blocking) if on_tpu else None
         if dev is None:
-            return {}
+            # absent columns are ambiguous to a reader; say why (a wedged
+            # remote profiler degrades every later row in this process)
+            return ({"device_note": "profiler_wedged"}
+                    if on_tpu and profiler_wedged() else {})
         busy_s = dev["busy_ms"] / 1e3
         return {
             "device_ms_per_call": round(dev["busy_ms"], 3),
@@ -512,6 +526,11 @@ def main():
         "gflops_per_clip": round(fg / 1e9, 1),
         "mfu": mfu(fg / dtg),
         "pct_of_plain": round(dtpg / dtg, 3),
+        # the plain minimum from THIS row's interleaved windows — the
+        # denominator of pct_of_plain.  Absolute clips_per_sec across rows
+        # come from different load regimes and are NOT comparable; every
+        # ratio is derivable from numbers inside its own row.
+        "paired_plain_clips_per_sec": round(1 / dtpg, 3),
     }
 
     # warm: memoized retrieval repeats exemplars -> inversion cache hits
@@ -530,6 +549,7 @@ def main():
         "gflops_per_clip": round(fgw / 1e9, 1),
         "mfu": mfu(fgw / dtw),
         "pct_of_plain": round(dtpw / dtw, 3),
+        "paired_plain_clips_per_sec": round(1 / dtpw, 3),
     }
 
     _dump(full)
@@ -556,6 +576,7 @@ def main():
         "gflops_per_clip": round(fg8 / 1e9, 1),
         "mfu": mfu(fg8 * 8 / dtg8),
         "pct_of_plain": round(dtp8 / dtg8, 3),
+        "paired_plain_clips_per_sec": round(8 / dtp8, 3),
     }
 
     re8_named = dict(re8, inv_names=[f"bench8_{i}" for i in range(16)])
@@ -573,6 +594,7 @@ def main():
         "gflops_per_clip": round(fg8w / 1e9, 1),
         "mfu": mfu(fg8w * 8 / dtw8),
         "pct_of_plain": round(dtp8w / dtw8, 3),
+        "paired_plain_clips_per_sec": round(8 / dtp8w, 3),
     }
 
     _dump(full)
@@ -666,7 +688,8 @@ def main():
     def train_device_cols(run_call, flops_per_step, k):
         dev = (traced_device_time_ms(run_call) if on_tpu else None)
         if dev is None:
-            return {}
+            return ({"device_note": "profiler_wedged"}
+                    if on_tpu and profiler_wedged() else {})
         per_step_s = dev["busy_ms"] / k / 1e3
         return {"device_ms_per_step": round(per_step_s * 1e3, 2),
                 "device_mfu": mfu(flops_per_step / per_step_s)}

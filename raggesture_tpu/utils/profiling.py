@@ -168,6 +168,14 @@ def chrome_trace_device_time_ms(logdir: str) -> Optional[dict]:
 _PROFILER_WEDGED = False
 
 
+def profiler_wedged() -> bool:
+    """True once a watchdog timeout has marked the remote profiler wedged
+    for the rest of the process — callers (bench.py) can annotate rows
+    whose device columns are absent for this reason, and timed sections
+    following a wedge can account for the orphaned trace thread."""
+    return _PROFILER_WEDGED
+
+
 def traced_device_time_ms(run, iters: int = 3,
                           timeout_s: float = 120.0) -> Optional[dict]:
     """Trace ``iters`` calls of ``run()`` (must block on its result) into a
@@ -189,11 +197,17 @@ def traced_device_time_ms(run, iters: int = 3,
         return None
     logdir = tempfile.mkdtemp(prefix="devtime_")
     box = {}
+    give_up = threading.Event()
 
     def work():
         try:
             with trace(logdir):
                 for _ in range(iters):
+                    if give_up.is_set():
+                        # the caller timed out and moved on — stop issuing
+                        # device work so orphaned iterations don't overlap
+                        # (and inflate) the caller's next timed section
+                        break
                     run()
             box["stats"] = (chrome_trace_device_time_ms(logdir)
                             or xplane_device_time_ms(logdir))
@@ -206,6 +220,12 @@ def traced_device_time_ms(run, iters: int = 3,
     try:
         if t.is_alive():  # wedged inside start/stop_trace or collection
             _PROFILER_WEDGED = True
+            give_up.set()
+            # grace period: if the thread was merely slow (not wedged), let
+            # its current iteration drain so it can't pollute the caller's
+            # next wall-clock window; a truly wedged stop_trace won't exit
+            # and the daemon thread dies with the process
+            t.join(10.0)
             return None
         stats = box.get("stats")
         if stats is None:

@@ -58,7 +58,9 @@ def main():
             sync(gens[name].sample(batch, r)["output_latents"])
             print(f"{name}: compiled")
         finally:
-            fd.LN_FOLD_OVERRIDE[0] = True
+            # restore the PRODUCTION default (False): anything traced after
+            # this loop must not bake ln_folded=True against an unfolded pack
+            fd.LN_FOLD_OVERRIDE[0] = False
 
     best = {k: float("inf") for k in gens}
     iters = 6
