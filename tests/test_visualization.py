@@ -171,3 +171,139 @@ def test_mesh_frames_falls_back_when_pyrender_egl_fails(monkeypatch):
                                width=64, height=64)
     assert len(frames) == 2 and frames[0].shape == (64, 64, 3)
     assert any("falling back" in str(w.message) for w in rec)
+
+
+def test_pyrender_branch_call_contract(monkeypatch):
+    """Pin _pyrender_mesh_frames' scene-assembly contract with mocked
+    pyrender/trimesh modules (reference render_smplx_debug_video,
+    /root/reference/mogen/utils/visualization.py:339-433): gray background
+    + ambient scene, checkerboard floor added flat-shaded, pi/3 camera at
+    the framing pose, key/fill directional lights (3.0/1.5, fill offset
+    x=1.5 y=2.0), one OffscreenRenderer(width, height) render per frame,
+    the body mesh re-added smooth-shaded per ACTIVE frame and removed
+    after, and renderer.delete() on exit.  pyrender is not installed in
+    this image — the mock locks the interface so the only otherwise
+    unexecuted branch in the repo has its argument assembly tested."""
+    import sys
+    import types
+
+    from raggesture_tpu.utils import visualization as V
+
+    calls = {"scene_adds": [], "renders": 0, "removed": [], "trimeshes": [],
+             "deleted": [], "renderer_args": None, "scene_kwargs": None}
+
+    class FakeNode:
+        def __init__(self, obj):
+            self.obj = obj
+
+    class FakeScene:
+        def __init__(self, **kw):
+            calls["scene_kwargs"] = kw
+
+        def add(self, obj, pose=None):
+            node = FakeNode(obj)
+            calls["scene_adds"].append((obj, None if pose is None
+                                        else np.asarray(pose)))
+            return node
+
+        def remove_node(self, node):
+            calls["removed"].append(node)
+
+    class FakeMesh:
+        def __init__(self, tm, smooth):
+            self.tm, self.smooth = tm, smooth
+
+        @staticmethod
+        def from_trimesh(tm, smooth=True):
+            return FakeMesh(tm, smooth)
+
+    class FakeCamera:
+        def __init__(self, yfov, aspectRatio):
+            self.yfov, self.aspect = yfov, aspectRatio
+
+    class FakeLight:
+        def __init__(self, color, intensity):
+            self.intensity = intensity
+
+    class FakeRenderer:
+        def __init__(self, w, h):
+            calls["renderer_args"] = (w, h)
+            self._w, self._h = w, h
+
+        def render(self, scene):
+            calls["renders"] += 1
+            return (np.full((self._h, self._w, 3), 7, np.uint8),
+                    np.zeros((self._h, self._w), np.float32))
+
+        def delete(self):
+            calls["deleted"].append(True)
+
+    class FakeVisual:
+        vertex_colors = None
+
+    class FakeTrimesh:
+        def __init__(self, vertices=None, faces=None, face_colors=None,
+                     process=True):
+            self.vertices = np.asarray(vertices)
+            self.faces = np.asarray(faces)
+            self.face_colors = face_colors
+            self.process = process
+            self.visual = FakeVisual()
+            calls["trimeshes"].append(self)
+
+    fake_pyrender = types.ModuleType("pyrender")
+    fake_pyrender.Scene = FakeScene
+    fake_pyrender.Mesh = FakeMesh
+    fake_pyrender.PerspectiveCamera = FakeCamera
+    fake_pyrender.DirectionalLight = FakeLight
+    fake_pyrender.OffscreenRenderer = FakeRenderer
+    fake_trimesh = types.ModuleType("trimesh")
+    fake_trimesh.Trimesh = FakeTrimesh
+    monkeypatch.setitem(sys.modules, "pyrender", fake_pyrender)
+    monkeypatch.setitem(sys.modules, "trimesh", fake_trimesh)
+
+    verts = np.zeros((3, 4, 3), np.float32)
+    verts[:, 1, 0] = 0.5
+    verts[:, 2, 1] = 0.5
+    verts[:, 3, 2] = 0.5
+    faces = np.asarray([[0, 1, 2], [0, 2, 3]], np.int32)
+    active = np.asarray([True, False, True])
+    cam, floor_y = V.compute_auto_framing(verts, active)
+
+    frames = V._pyrender_mesh_frames(verts, faces, active, cam, floor_y,
+                                     width=48, height=64,
+                                     mesh_color=(10, 20, 30))
+
+    # one rendered frame per input frame, at the renderer's size
+    assert len(frames) == 3 and frames[0].shape == (64, 48, 3)
+    assert calls["renders"] == 3
+    assert calls["renderer_args"] == (48, 64)
+    # scene construction: gray bg + ambient light
+    np.testing.assert_allclose(calls["scene_kwargs"]["bg_color"],
+                               [0.75, 0.75, 0.75, 1.0])
+    np.testing.assert_allclose(calls["scene_kwargs"]["ambient_light"],
+                               [0.35, 0.35, 0.35])
+    # static adds: floor mesh (flat), camera (pi/3 at cam pose), 2 lights
+    static = calls["scene_adds"][:4]
+    floor_mesh = static[0][0]
+    assert isinstance(floor_mesh, FakeMesh) and floor_mesh.smooth is False
+    camera = static[1][0]
+    assert isinstance(camera, FakeCamera)
+    np.testing.assert_allclose(camera.yfov, np.pi / 3.0)
+    np.testing.assert_allclose(camera.aspect, 48.0 / 64.0)
+    np.testing.assert_allclose(static[1][1], cam.astype(np.float64))
+    key, fill = static[2][0], static[3][0]
+    assert (key.intensity, fill.intensity) == (3.0, 1.5)
+    np.testing.assert_allclose(static[2][1], cam.astype(np.float64))
+    fill_pose = static[3][1]
+    assert (fill_pose[0, 3], fill_pose[1, 3]) == (1.5, 2.0)
+    # per-frame: body mesh added smooth-shaded for the 2 ACTIVE frames
+    # only, removed after each, with the RGBA vertex color applied
+    body_adds = calls["scene_adds"][4:]
+    assert len(body_adds) == 2 and len(calls["removed"]) == 2
+    for mesh, pose in body_adds:
+        assert isinstance(mesh, FakeMesh) and mesh.smooth is True
+        np.testing.assert_array_equal(
+            mesh.tm.visual.vertex_colors[0], [10, 20, 30, 255])
+        assert mesh.tm.vertices.shape == (4, 3)
+    assert calls["deleted"] == [True]
