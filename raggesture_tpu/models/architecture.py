@@ -279,9 +279,11 @@ def training_loss(
             fm = jnp.ones(batch["motion_upper"].shape[:2])
         token_mask = strided_token_mask(fm, cfg.codec.frame_chunk_size)
     else:
-        z0, token_mask = model.apply(
-            params, batch, rng=r_enc, sample=True, method=model.encode_motion
-        )
+        with jax.named_scope("codec_encode"):
+            z0, token_mask = model.apply(
+                params, batch, rng=r_enc, sample=True,
+                method=model.encode_motion
+            )
     # the codec is frozen (reference: requires_grad=False VAEs +
     # VAE_FreezeHook) — stop_gradient lets XLA DCE the codec backward
     z0 = jax.lax.stop_gradient(z0)
@@ -295,16 +297,20 @@ def training_loss(
     noise = jax.random.normal(r_noise, z0.shape, z0.dtype)
     x_t = G.q_sample(sched_train, z0, t, noise)
 
-    conds = model.apply(params, batch, method=model.encode_conditions)
+    # named scopes land in op metadata (tf_op) so the train-step trace
+    # decomposition (tools/dev/train_decomp.py) can attribute device time
+    with jax.named_scope("cond_encode"):
+        conds = model.apply(params, batch, method=model.encode_conditions)
     qm = default_query_masks(cfg.denoiser, B)
     # ~10% condition dropout: cond_type ~ U{0..99}, dropped when % 10 == 0
     cond_type = jax.random.randint(r_cond, (B, 1, 1), 0, 100)
     cond_mask = ((cond_type % 10) > 0).astype(z0.dtype)
 
-    pred = model.apply(
-        params, x_t, t, token_mask, conds, qm, cond_mask, False,
-        method=model.denoise, rngs={"dropout": r_drop},
-    )
+    with jax.named_scope("denoise"):
+        pred = model.apply(
+            params, x_t, t, token_mask, conds, qm, cond_mask, False,
+            method=model.denoise, rngs={"dropout": r_drop},
+        )
     target = G.training_target(sched_train, cfg.diffusion_train.mean_type,
                                z0, x_t, noise, t)
 

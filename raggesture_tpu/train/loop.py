@@ -168,8 +168,12 @@ def make_train_step(model: MotionDiffusionModel, tx,
         (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params
         )
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
+        # named scope -> op metadata: the trace-decomposition harness
+        # (tools/dev/train_decomp.py) buckets device time by tf_op path
+        with jax.named_scope("optimizer"):
+            updates, opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+            params = optax.apply_updates(state.params, updates)
         new_state = TrainState(params=params, opt_state=opt_state,
                                step=state.step + 1)
         logs = dict(logs)
@@ -184,7 +188,8 @@ def make_train_step(model: MotionDiffusionModel, tx,
 def make_multi_train_step(model: MotionDiffusionModel, tx,
                           sched_train: DiffusionSchedule,
                           bf16_compute: bool = False,
-                          fused_codec: bool = False):
+                          fused_codec: bool = False,
+                          unroll: int = 1):
     """k train steps per dispatch via ``lax.scan`` over a stacked batch.
 
     One jitted call marshals the ~3000-leaf (state, batch) argument tree
@@ -198,6 +203,14 @@ def make_multi_train_step(model: MotionDiffusionModel, tx,
 
     The step takes (state, stacked_batch, rng) where every batch leaf has a
     leading ``k`` axis; logs come back with a leading ``(k,)`` axis.
+
+    ``unroll``: scan unroll factor.  The XLA while loop double-buffers the
+    loop carry — traced on v5e at ~9 ms/step of tiny per-leaf copies of
+    every param/Adam-moment buffer (docs/TRAIN_DECOMP.json fwd/other;
+    f32[2048,1024] adaLN kernels x3 state arrays each, etc.).  Unrolling k
+    steps per loop iteration amortizes those copies 1/k; ``unroll=k``
+    removes the while loop entirely.  Compile time scales ~linearly with
+    the factor (one-time with the persistent compile cache).
     """
     step = make_train_step(model, tx, sched_train,
                            bf16_compute=bf16_compute,
@@ -207,7 +220,7 @@ def make_multi_train_step(model: MotionDiffusionModel, tx,
         def body(s, b):
             return step(s, b, rng)
 
-        return jax.lax.scan(body, state, stacked_batch)
+        return jax.lax.scan(body, state, stacked_batch, unroll=unroll)
 
     return multi_step
 

@@ -165,6 +165,69 @@ def chrome_trace_device_time_ms(logdir: str) -> Optional[dict]:
     return None
 
 
+def chrome_trace_op_table(logdir: str) -> Optional[list]:
+    """Per-op aggregation of the device trace's "XLA Ops" line.
+
+    Returns rows ``{"name", "category", "tf_op", "dur_ms", "count",
+    "gflops", "mbytes"}`` summed over repeated executions of the same HLO op
+    (e.g. scan iterations), sorted by total duration.  ``tf_op`` is the
+    JAX/XLA op-metadata path (``jit(step)/transpose(jvp(loss))/dot_general``)
+    — ``transpose(`` marks backward ops, explicit ``jax.named_scope`` names
+    appear verbatim — which is what lets a caller bucket device time into
+    forward / backward / optimizer slabs (the VERDICT r4 train-step
+    decomposition).  Container ops that nest their body's events on the same
+    timeline (while/conditional/call fusions) are excluded from the rows so
+    the table's total approximates the union busy time rather than
+    double-counting loop bodies."""
+    import glob
+    import gzip
+    import json as _json
+
+    paths = glob.glob(logdir + "/**/*.trace.json.gz", recursive=True)
+    if not paths:
+        return None
+    with gzip.open(max(paths)) as f:
+        events = _json.load(f).get("traceEvents", [])
+    dev_pids = set()
+    ops_tids = {}
+    for ev in events:
+        if ev.get("ph") != "M":
+            continue
+        name = (ev.get("args") or {}).get("name", "")
+        if ev.get("name") == "process_name" and "/device:" in name:
+            dev_pids.add(ev["pid"])
+        elif ev.get("name") == "thread_name" and name == "XLA Ops":
+            ops_tids[ev["pid"]] = ev["tid"]
+    _SKIP = ("while", "conditional", "call", "all-reduce-start")
+    for pid in dev_pids:
+        tid = ops_tids.get(pid)
+        if tid is None:
+            continue
+        table = {}
+        found = False
+        for ev in events:
+            if (ev.get("ph") != "X" or ev.get("pid") != pid
+                    or ev.get("tid") != tid or "dur" not in ev):
+                continue
+            found = True
+            args = ev.get("args") or {}
+            cat = args.get("hlo_category", "")
+            if cat in _SKIP:
+                continue
+            row = table.setdefault(ev.get("name", "?"), {
+                "name": ev.get("name", "?"), "category": cat,
+                "tf_op": args.get("tf_op", ""), "dur_ms": 0.0, "count": 0,
+                "gflops": 0.0, "mbytes": 0.0,
+            })
+            row["dur_ms"] += ev["dur"] / 1e3
+            row["count"] += 1
+            row["gflops"] += float(args.get("model_flops", 0) or 0) / 1e9
+            row["mbytes"] += float(args.get("bytes_accessed", 0) or 0) / 1e6
+        if found:
+            return sorted(table.values(), key=lambda r: -r["dur_ms"])
+    return None
+
+
 _PROFILER_WEDGED = False
 
 
