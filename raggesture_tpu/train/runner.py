@@ -102,6 +102,13 @@ def train_model(
     # and depth 2 at the flagship batch-128 config RESOURCE_EXHAUSTs a v5e
     device_prefetch: int = 1,
     log_per_sample: bool = False,
+    # HBM sample bank capacity (train/cond_bank.py): >0 stages each
+    # sample's device fields in HBM once and ships only (k, B) slot
+    # indices per steady-state step — the fix for slow-h2d hosts where
+    # transfer, not compute, bounds the chain.  Requires multi_step>1,
+    # a uniform schedule sampler, single-process, and sample_idx in the
+    # loader batches; silently falls back to streaming otherwise.
+    cond_bank: int = 0,
 ) -> TrainState:
     """Run the epoch loop; returns the final TrainState (host-fetched).
 
@@ -209,6 +216,23 @@ def train_model(
                                   bf16_compute=optim_cfg.bf16_compute,
                                   fused_codec=optim_cfg.fused_codec),
             mesh)
+    bank = banked_fn = None
+    if cond_bank > 0 and multi_fn is not None:
+        from ..parallel.mesh import spans_processes
+        from .cond_bank import DeviceSampleBank, jit_banked_multi_step
+
+        if spans_processes(mesh):
+            logger.warning("cond_bank requested but the mesh spans "
+                           "processes — falling back to streaming")
+        else:
+            bank = DeviceSampleBank(cond_bank, mesh)
+            banked_fn = jit_banked_multi_step(
+                make_multi_train_step(model, tx, sched_train,
+                                      bf16_compute=optim_cfg.bf16_compute,
+                                      fused_codec=optim_cfg.fused_codec),
+                mesh)
+            logger.info("device sample bank enabled (capacity %d samples)",
+                        cond_bank)
     val_fn = None
     if val_loader is not None:
         from .loop import jit_val_step, make_val_step
@@ -296,13 +320,18 @@ def train_model(
                     # so batch j+1 is stacked and its transfer enqueued while
                     # the main thread's step j dispatch is outstanding
                     # (device-side double buffering; the loop below only
-                    # dispatches).  Yields (k_steps, device_batch).
+                    # dispatches).  Yields (k_steps, device_batch) — with
+                    # the sample bank, device_batch is ("bank", banks, idx)
+                    # and the steady-state transfer is the (k, B) idx only.
                     sbuf = []
+                    slot_buf = []
+                    use_bank = bank is not None
 
                     def drain_singly():
                         for b in sbuf:
                             yield 1, shard_batch(b, mesh)
                         sbuf.clear()
+                        slot_buf.clear()
 
                     for batch in train_loader:
                         hb = dbatch(batch)
@@ -314,12 +343,35 @@ def train_model(
                                 for k2 in sbuf[0]):
                             # ragged tail batch: run buffered ones singly
                             yield from drain_singly()
+                        if use_bank and "sample_idx" not in batch:
+                            logger.warning(
+                                "cond_bank: loader batches carry no "
+                                "sample_idx — falling back to streaming")
+                            use_bank = False
+                        if use_bank:
+                            try:
+                                slot_buf.append(bank.stage(
+                                    hb, batch["sample_idx"]))
+                            except ValueError:
+                                # ragged / over-capacity batch: this one
+                                # streams; buffered banked ones still run
+                                # banked if a full stack forms
+                                pass
                         sbuf.append(hb)
                         if len(sbuf) < multi_step:
+                            continue
+                        if use_bank and len(slot_buf) == multi_step:
+                            idx = np.stack(slot_buf)
+                            banks_now = dict(bank.banks)
+                            sbuf.clear()
+                            slot_buf.clear()
+                            yield multi_step, ("bank", banks_now,
+                                               put_stacked_batch(idx, mesh))
                             continue
                         stacked = {k2: np.stack([b[k2] for b in sbuf])
                                    for k2 in sbuf[0]}
                         sbuf.clear()
+                        slot_buf.clear()
                         yield multi_step, put_stacked_batch(stacked, mesh)
                     # epoch tail shorter than multi_step
                     yield from drain_singly()
@@ -328,7 +380,9 @@ def train_model(
                 if device_prefetch > 0:
                     stream = prefetch_iter(stream, depth=device_prefetch)
                 for k_steps, db in stream:
-                    if k_steps > 1:
+                    if isinstance(db, tuple) and db and db[0] == "bank":
+                        state, logs = banked_fn(state, db[1], db[2], rng)
+                    elif k_steps > 1:
                         state, logs = multi_fn(state, db, rng)
                     else:
                         state, logs = step_fn(state, db, rng)

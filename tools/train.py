@@ -61,6 +61,13 @@ def parse_args():
                    help="device-side double-buffer depth: batches staged "
                         "(stacked + device_put) ahead of dispatch in a "
                         "background thread; 0 disables")
+    p.add_argument("--cond-bank", type=int, default=0, metavar="CAPACITY",
+                   help="HBM sample-bank capacity (samples): stage each "
+                        "sample's device tensors on-chip once, then ship "
+                        "only slot indices per step — removes the "
+                        "host->device transfer from steady-state steps "
+                        "(needs --multi-step>1; ~1.2 MB HBM/sample with "
+                        "--latent-cache). 0 disables")
     p.add_argument("--schedule-sampler", default="uniform",
                    choices=["uniform", "loss-second-moment"],
                    help="diffusion timestep sampler (loss-second-moment = "
@@ -278,6 +285,7 @@ def main():
                         else cfg.runner.get("multi_step", 1)),
             device_prefetch=args.device_prefetch,
             log_per_sample=args.log_per_sample,
+            cond_bank=args.cond_bank,
         )
     logger.info("training done at step %d", int(state.step))
 
