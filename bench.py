@@ -24,6 +24,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # TPU v5e peak dense bf16 throughput per chip (public spec); the MXU
 # receives bf16 operands under the default f32 matmul precision, so this is
@@ -647,6 +648,75 @@ def main():
         "mfu": mfu(cb * fl / dtlb),
     }
 
+    _dump(full)
+
+    # evaluation suite (BASELINE config 5's second half — the reference
+    # runs it on GPU, /root/reference/tools/evaluate.py:258-355): the
+    # jitted eval device path over synthetic result dirs — 55-joint FK
+    # (release-SHAPE synthetic SMPL-X: J=55, V=10450, 300 betas /
+    # 100 expressions; the real 3 GB asset needs egress), face-vertex FK,
+    # and the 32-frame-window map2latent FGD embedding, plus the host-side
+    # metric math (l1div/diversity/face) exactly as tools/evaluate.py
+    # drives them.  No gt_audio.wav -> beat-align is skipped (librosa-free
+    # onsets are host-only; they'd time the 1-core host, not the suite).
+    import shutil as _sh
+    import tempfile as _tf
+
+    from raggesture_tpu.eval.evaluator import EvalConfig, Evaluator
+    from raggesture_tpu.models.eval_fgd import FGDConfig, FGDEmbedder
+    from raggesture_tpu.models.smplx import synthetic_model
+    from tools.evaluate import build_face_fk_fn, build_fk_fn
+
+    smplx_syn = synthetic_model(num_joints=55, verts_per_joint=190,
+                                num_betas=300, num_expr=100, posedirs=True)
+    fk_fn = build_fk_fn("", model=smplx_syn)
+    face_fk_fn = build_face_fk_fn("", model=smplx_syn)
+    fgd_model = FGDEmbedder(FGDConfig())
+    fgd_params = jax.jit(fgd_model.init)(
+        jax.random.PRNGKey(2), jnp.zeros((1, 64, 330)))
+    fgd_fn = jax.jit(lambda x: fgd_model.apply(fgd_params, x,
+                                               method=fgd_model.map2latent))
+
+    n_eval_clips, T_eval = 8, 300
+    eval_root = _tf.mkdtemp(prefix="bench_eval_")
+    for i in range(n_eval_clips):
+        d = os.path.join(eval_root, f"clip_{i}")
+        os.makedirs(d)
+        for name, sd in (("pred_motion.npz", i), ("gt_motion.npz", 100 + i)):
+            rr = np.random.RandomState(sd)
+            np.savez(os.path.join(d, name),
+                     poses=(rr.randn(T_eval, 165) * 0.1).astype(np.float32),
+                     trans=np.zeros((T_eval, 3), np.float32),
+                     expressions=(rr.randn(T_eval, 100) * 0.1).astype(
+                         np.float32),
+                     betas=np.zeros((300,), np.float32))
+
+    def run_eval():
+        ev = Evaluator(EvalConfig(eval_n=T_eval), fgd_embed_fn=fgd_fn,
+                       fk_fn=fk_fn, face_fk_fn=face_fk_fn)
+        return ev.evaluate(eval_root)
+
+    run_eval()  # warmup/compile
+    best_e = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run_eval()
+        best_e = min(best_e, time.perf_counter() - t0)
+    dev_e = traced_device_time_ms(run_eval, iters=1) if on_tpu else None
+    eval_row = {
+        "clips_per_sec": round(n_eval_clips / best_e, 3),
+        "ms_per_clip_wall": round(best_e / n_eval_clips * 1e3, 1),
+        "eval_n_frames": T_eval, "n_clips": n_eval_clips,
+        "includes": "map2latent FGD embed + 55-joint FK (pred+gt) + "
+                    "10450-vertex face FK (pred+gt) + host metric math",
+    }
+    if dev_e is not None:
+        eval_row["device_ms_per_clip"] = round(
+            dev_e["busy_ms"] / n_eval_clips, 2)
+    elif on_tpu and profiler_wedged():
+        eval_row["device_note"] = "profiler_wedged"
+    full["configs"]["eval_suite"] = eval_row
+    _sh.rmtree(eval_root, ignore_errors=True)
     _dump(full)
 
     # training step (BASELINE config 5's training half): device batch 128

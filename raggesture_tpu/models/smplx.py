@@ -111,9 +111,16 @@ def synthetic_faces(num_joints: int = 4, verts_per_joint: int = 6
 
 
 def synthetic_model(num_joints: int = 4, verts_per_joint: int = 6,
-                    seed: int = 0) -> SmplxModel:
-    """A tiny well-formed rig for hermetic tests: a joint chain with vertex
-    clusters rigidly attached to each joint."""
+                    seed: int = 0, num_betas: int = 10, num_expr: int = 5,
+                    posedirs: bool = False) -> SmplxModel:
+    """A well-formed synthetic rig: a joint chain with vertex clusters
+    rigidly attached to each joint.
+
+    Defaults give the tiny hermetic-test rig; ``num_joints=55,
+    verts_per_joint=190, num_betas=300, num_expr=100, posedirs=True``
+    gives a release-SHAPE stand-in (J=55, V=10450 ~ SMPL-X's 10475) whose
+    FK/LBS device cost matches the real asset — used by the bench's
+    eval-suite row where the 3 GB asset can't be downloaded."""
     r = np.random.RandomState(seed)
     J, V = num_joints, num_joints * verts_per_joint
     joints = np.cumsum(r.rand(J, 3).astype(np.float32) * 0.3, axis=0)
@@ -132,11 +139,16 @@ def synthetic_model(num_joints: int = 4, verts_per_joint: int = 6,
     # make the regressed rest joints consistent with the chain
     rest = j_reg @ v_template
     parents = np.arange(-1, J - 1, dtype=np.int32)
+    pd = (r.randn(9 * (J - 1), V * 3).astype(np.float32) * 1e-3 if posedirs
+          else np.zeros((9 * (J - 1), V * 3), np.float32))
     return SmplxModel(
         v_template=jnp.asarray(v_template),
-        shapedirs=jnp.asarray(r.randn(V, 3, 10).astype(np.float32) * 0.01),
-        exprdirs=jnp.asarray(np.zeros((V, 3, 5), np.float32)),
-        posedirs=jnp.asarray(np.zeros((9 * (J - 1), V * 3), np.float32)),
+        shapedirs=jnp.asarray(
+            r.randn(V, 3, num_betas).astype(np.float32) * 0.01),
+        exprdirs=jnp.asarray(
+            r.randn(V, 3, num_expr).astype(np.float32) * 0.01
+            if num_expr != 5 else np.zeros((V, 3, 5), np.float32)),
+        posedirs=jnp.asarray(pd),
         j_regressor=jnp.asarray(j_reg),
         parents=jnp.asarray(parents),
         lbs_weights=jnp.asarray(weights),
