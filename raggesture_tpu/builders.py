@@ -197,6 +197,9 @@ def optim_config_from(cfg: Config, total_steps: int) -> OptimConfig:
         # optimizer.fused_codec=true: stacked 3+1-program frozen encode
         # (models/fused_codec.py) for non-latent-cache training
         fused_codec=bool(_get(opt, "fused_codec", False)),
+        # optimizer.fused_ctx=false opts back into the flax per-layer
+        # cond-K/V forward (train/loop.py OptimConfig.fused_ctx)
+        fused_ctx=bool(_get(opt, "fused_ctx", True)),
     )
 
 

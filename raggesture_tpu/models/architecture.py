@@ -234,6 +234,7 @@ def training_loss(
     t_weights: Optional[jnp.ndarray] = None,
     return_per_sample: bool = False,
     fused_codec: bool = False,
+    fused_ctx: bool = False,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """One training-loss evaluation (reference diffusion_architecture.py:
     178-212 + gaussian_diffusion.training_losses :1432-1535).
@@ -244,7 +245,15 @@ def training_loss(
     ``fused_codec`` runs the frozen 4-part encode through the stacked
     3+1-program path (models/fused_codec.py) — same latent distribution
     (z0 is rsampled from the identical (mu, logvar); eps draws differ from
-    the per-part path, like the latent cache)."""
+    the per-part path, like the latent cache).
+
+    ``fused_ctx`` routes the denoiser forward through
+    fused_denoiser.train_denoise_ctx: all-layer cross-attention contexts
+    in one fused pass per condition stream (Pallas custom_vjp on TPU, the
+    jnp reference elsewhere) — the round-5 fix for the cond-K/V chains
+    that dominate the train device step (docs/TRAIN_DECOMP.json).  Same
+    math as the flax forward (tests/test_cond_ctx.py); requires the
+    shipped dropout=0 config (the fused path takes no dropout rng)."""
     cfg = model.cfg
     r_enc, r_t, r_noise, r_cond, r_drop = jax.random.split(rng, 5)
 
@@ -307,10 +316,18 @@ def training_loss(
     cond_mask = ((cond_type % 10) > 0).astype(z0.dtype)
 
     with jax.named_scope("denoise"):
-        pred = model.apply(
-            params, x_t, t, token_mask, conds, qm, cond_mask, False,
-            method=model.denoise, rngs={"dropout": r_drop},
-        )
+        if fused_ctx:
+            from .fused_denoiser import train_denoise_ctx
+
+            assert cfg.denoiser.dropout == 0.0, \
+                "fused_ctx training path supports the shipped dropout=0"
+            pred = train_denoise_ctx(params, cfg.denoiser, x_t, t,
+                                     token_mask, conds, qm, cond_mask)
+        else:
+            pred = model.apply(
+                params, x_t, t, token_mask, conds, qm, cond_mask, False,
+                method=model.denoise, rngs={"dropout": r_drop},
+            )
     target = G.training_target(sched_train, cfg.diffusion_train.mean_type,
                                z0, x_t, noise, t)
 

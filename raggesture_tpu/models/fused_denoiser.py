@@ -505,6 +505,103 @@ def fused_denoise_ctx(
     return _dense(h, p["out"])
 
 
+def stack_ca_params(p: Dict, cfg: DenoiserConfig, key: str):
+    """Per-layer cross-attention LN/K/V parameters for one condition
+    stream, stacked over layers for ops/pallas/cond_ctx_kernel: returns
+    (ln_g, ln_b, wk, bk, wv, bv) with leading (L,) axes.  Pure parameter
+    relayout (~8 MB concat per projection), rebuilt in-graph per step."""
+    gs, bs, wks, bks, wvs, bvs = [], [], [], [], [], []
+    for i in range(cfg.num_layers):
+        ca = p[f"block_{i}"][f"ca_{key}"]
+        gs.append(jnp.asarray(ca["text_norm"]["scale"]))
+        bs.append(jnp.asarray(ca["text_norm"]["bias"]))
+        wks.append(jnp.asarray(ca["key"]["kernel"]))
+        bks.append(jnp.asarray(ca["key"]["bias"]))
+        wvs.append(jnp.asarray(ca["value"]["kernel"]))
+        bvs.append(jnp.asarray(ca["value"]["bias"]))
+    return (jnp.stack(gs), jnp.stack(bs), jnp.stack(wks), jnp.stack(bks),
+            jnp.stack(wvs), jnp.stack(bvs))
+
+
+def cross_attention_grouped_ctx(p, x, ctx_g, scale, shift, query_mask,
+                                num_heads):
+    """Cached-context cross-attention apply with a GROUPED (G, S, S)
+    context (the cond_ctx_kernel layout) — same math as
+    :func:`cross_attention_cached_xla` (the dense block-diagonal product
+    equals the per-group products on the diagonal blocks)."""
+    B, T, D = x.shape
+    G, S = ctx_g.shape[1], ctx_g.shape[2]
+    xn = _ln(x, p["norm"])
+    q = feature_softmax_q(
+        _dense(xn, p["query"]).reshape(B, T, num_heads, -1)
+    ).reshape(B, T, D)
+    y = jnp.concatenate(
+        [jnp.einsum("bts,bse->bte", q[..., g * S:(g + 1) * S], ctx_g[:, g])
+         for g in range(G)], axis=-1)
+    if query_mask is not None:
+        y = y + (1.0 - query_mask).reshape(B, T, 1) * NEG_MASK
+    return x + _stylize(y, p["proj_out"], scale, shift)
+
+
+def train_denoise_ctx(params: Dict, cfg: DenoiserConfig,
+                      latents: jnp.ndarray, t_orig: jnp.ndarray,
+                      motion_mask: jnp.ndarray,
+                      conds: Dict[str, jnp.ndarray],
+                      query_masks, cond_mask,
+                      use_kernel=None, interpret: bool = False
+                      ) -> jnp.ndarray:
+    """TRAINING-path twin of GestureDenoiser.__call__ built around the
+    all-layer condition-context kernels (ops/pallas/cond_ctx_kernel.py).
+
+    The flax forward recomputes per-layer K/V over the full condition
+    timelines; this function computes every layer's grouped context in
+    ONE fused pass per condition stream (with an analytic custom_vjp for
+    the backward) and applies them with the T=43 cached-context math the
+    inference path already uses.  Differentiable end-to-end; per-sample
+    timesteps supported (unlike the sampling layer kernel, adaLN rows
+    here are per-sample).  Parity vs the flax path:
+    tests/test_cond_ctx.py."""
+    from ..ops.pallas.cond_ctx_kernel import cond_contexts
+
+    p = unwrap_denoiser(params)
+    B, T, _ = latents.shape
+    c = cfg
+
+    emb = timestep_embedding(t_orig, c.latent_dim)
+    emb = _dense(jax.nn.silu(_dense(emb, p["time_embed_1"])),
+                 p["time_embed_2"])
+    h, src_mask = embed_inputs(p, c, latents, motion_mask)
+    adaln = stacked_adaln(p, emb, c.num_layers)
+
+    cm = (None if cond_mask is None
+          else jnp.asarray(cond_mask).reshape(B, 1, 1))
+    ctx = {}
+    for key in COND_KEYS:
+        stacked = stack_ca_params(p, c, key)
+        ctx[key] = cond_contexts(conds[key], cm, *stacked,
+                                 num_heads=c.ca_heads,
+                                 use_kernel=use_kernel,
+                                 interpret=interpret)
+
+    for i in range(c.num_layers):
+        blk = p[f"block_{i}"]
+        s, sh = adaln[(i, "sa")]
+        h = self_attention_xla(blk["sa_block"], h, src_mask, s, sh,
+                               c.num_heads)
+        outs = []
+        for key in COND_KEYS:
+            s, sh = adaln[(i, key)]
+            qm = query_masks[key] if query_masks is not None else None
+            outs.append(cross_attention_grouped_ctx(
+                blk[f"ca_{key}"], h, ctx[key][:, i], s, sh, qm,
+                c.ca_heads))
+        h = _dense(jnp.concatenate(outs, axis=-1), blk["ca_mix"])
+        s, sh = adaln[(i, "ffn")]
+        h = ffn(blk["ffn"], h, s, sh)
+
+    return _dense(h, p["out"])
+
+
 def stack_layer_contexts(dcfg: DenoiserConfig, ctx_cache: Dict,
                          dtype=jnp.bfloat16):
     """Per-layer (B, 3, D, D) context stacks for the layer kernel —

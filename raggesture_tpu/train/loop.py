@@ -57,6 +57,13 @@ class OptimConfig:
     # (models/fused_codec.py) when training WITHOUT the latent cache —
     # same latent distribution, fewer small programs per step
     fused_codec: bool = False
+    # denoiser forward through fused_denoiser.train_denoise_ctx: all-layer
+    # cross-attention contexts in one fused pass per condition stream
+    # (Pallas custom_vjp on TPU; the jnp reference elsewhere).  Same math
+    # as the flax forward (tests/test_cond_ctx.py) — the round-5 fix for
+    # the cond-K/V chains that dominate the train device step.  Default ON:
+    # gradients match the flax path to f32 accumulation-order ulps.
+    fused_ctx: bool = True
 
 
 def param_labels(params) -> Any:
@@ -131,7 +138,8 @@ def make_train_step(model: MotionDiffusionModel, tx,
                     bf16_compute: bool = False,
                     with_timesteps: bool = False,
                     fused_codec: bool = False,
-                    log_per_sample: bool = False):
+                    log_per_sample: bool = False,
+                    fused_ctx: bool = False):
     """Build the pure train-step fn (jit/pjit-ready).
 
     ``bf16_compute``: params and batch are cast to bfloat16 for the
@@ -156,7 +164,7 @@ def make_train_step(model: MotionDiffusionModel, tx,
         def loss_fn(params):
             kw = dict(t=t, t_weights=t_weights,
                       return_per_sample=with_timesteps or log_per_sample,
-                      fused_codec=fused_codec)
+                      fused_codec=fused_codec, fused_ctx=fused_ctx)
             if bf16_compute:
                 loss, logs = training_loss(
                     model, _cast_floats(params, jnp.bfloat16), sched_train,
@@ -189,7 +197,8 @@ def make_multi_train_step(model: MotionDiffusionModel, tx,
                           sched_train: DiffusionSchedule,
                           bf16_compute: bool = False,
                           fused_codec: bool = False,
-                          unroll: int = 1):
+                          unroll: int = 1,
+                          fused_ctx: bool = False):
     """k train steps per dispatch via ``lax.scan`` over a stacked batch.
 
     One jitted call marshals the ~3000-leaf (state, batch) argument tree
@@ -214,7 +223,8 @@ def make_multi_train_step(model: MotionDiffusionModel, tx,
     """
     step = make_train_step(model, tx, sched_train,
                            bf16_compute=bf16_compute,
-                           fused_codec=fused_codec)
+                           fused_codec=fused_codec,
+                           fused_ctx=fused_ctx)
 
     def multi_step(state: TrainState, stacked_batch, rng: jax.Array):
         def body(s, b):
@@ -239,14 +249,15 @@ def jit_multi_train_step(multi_step, mesh):
 
 
 def make_val_step(model: MotionDiffusionModel,
-                  sched_train: DiffusionSchedule):
+                  sched_train: DiffusionSchedule,
+                  fused_ctx: bool = False):
     """Validation step: the training loss without gradients (reference
     BaseArchitecture.val_step, base_architecture.py:91-135)."""
 
     def val_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                  rng: jax.Array):
         loss, logs = training_loss(model, state.params, sched_train, batch,
-                                   rng)
+                                   rng, fused_ctx=fused_ctx)
         return dict(logs)
 
     return val_step

@@ -201,7 +201,8 @@ def train_model(
                         bf16_compute=optim_cfg.bf16_compute,
                         with_timesteps=t_sampler is not None,
                         fused_codec=optim_cfg.fused_codec,
-                        log_per_sample=log_per_sample), mesh,
+                        log_per_sample=log_per_sample,
+                        fused_ctx=optim_cfg.fused_ctx), mesh,
         with_timesteps=t_sampler is not None)
     # multi-step dispatch (k steps per jitted call via lax.scan) amortizes
     # the per-dispatch argument marshaling — a ~2x wall win on remote-hosted
@@ -214,7 +215,8 @@ def train_model(
         multi_fn = jit_multi_train_step(
             make_multi_train_step(model, tx, sched_train,
                                   bf16_compute=optim_cfg.bf16_compute,
-                                  fused_codec=optim_cfg.fused_codec),
+                                  fused_codec=optim_cfg.fused_codec,
+                                  fused_ctx=optim_cfg.fused_ctx),
             mesh)
     bank = banked_fn = None
     if cond_bank > 0 and multi_fn is not None:
@@ -229,7 +231,8 @@ def train_model(
             banked_fn = jit_banked_multi_step(
                 make_multi_train_step(model, tx, sched_train,
                                       bf16_compute=optim_cfg.bf16_compute,
-                                      fused_codec=optim_cfg.fused_codec),
+                                      fused_codec=optim_cfg.fused_codec,
+                                      fused_ctx=optim_cfg.fused_ctx),
                 mesh)
             logger.info("device sample bank enabled (capacity %d samples)",
                         cond_bank)
@@ -237,7 +240,9 @@ def train_model(
     if val_loader is not None:
         from .loop import jit_val_step, make_val_step
 
-        val_fn = jit_val_step(make_val_step(model, sched_train), mesh)
+        val_fn = jit_val_step(
+            make_val_step(model, sched_train,
+                          fused_ctx=optim_cfg.fused_ctx), mesh)
     state = replicate_tree(state, mesh)
     rng = replicate_tree(jax.random.PRNGKey(seed), mesh)
 

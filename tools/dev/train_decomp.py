@@ -125,9 +125,11 @@ def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "both"
     mode, _, sub = which.partition(":")
     bf16 = "bf16" in mode
+    fctx = "fctx" in mode
     mu_ = _re.search(r"u(\d+)", mode)
     unroll = int(mu_.group(1)) if mu_ else 1
-    which = sub or ("both" if mode in ("", "bf16") or mu_ else mode)
+    which = sub or ("both" if mode in ("", "bf16") or mu_ or fctx
+                else mode)
     cfg = full_arch_config()
     model = MotionDiffusionModel(cfg)
     b1 = synthetic_batch(seed=0, batch=1, frames=cfg.codec.num_frames,
@@ -141,12 +143,15 @@ def main():
     state, tx = create_train_state(model, params, OptimConfig(total_steps=100))
     multi = jax.jit(
         make_multi_train_step(model, tx, cfg.diffusion_train.schedule(),
-                              bf16_compute=bf16, unroll=unroll),
+                              bf16_compute=bf16, unroll=unroll,
+                              fused_ctx=fctx),
         donate_argnums=(0,))
     stack_k = jax.jit(lambda t: jax.tree_util.tree_map(
         lambda v: jnp.broadcast_to(v[None], (K,) + v.shape), t))
     rng = jax.random.PRNGKey(5)
-    suffix = ("_bf16" if bf16 else "") + (f"_u{unroll}" if unroll > 1 else "")
+    suffix = (("_bf16" if bf16 else "")
+              + (f"_u{unroll}" if unroll > 1 else "")
+              + ("_fctx" if fctx else ""))
     out = {}
     st = [state]
 
