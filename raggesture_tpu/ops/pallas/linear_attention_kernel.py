@@ -43,6 +43,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_MASK = -1_000_000.0
 
+# trace-time ablation hook for the VPU/MXU budget harness
+# (tools/dev/vpu_budget.py): "" = production; "no_transc" replaces every
+# transcendental (exp/sigmoid/erf) in fused_decoder_layer with a linear
+# stand-in; "mxu_only" additionally strips the LayerNorm/softmax
+# normalization passes, leaving (approximately) just the GEMM chain.
+# NOT semantics-preserving — measurement only; production code never sets
+# it (same pattern as fused_denoiser.CTX_GROUPS_OVERRIDE).
+ABLATE = [""]
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -660,6 +669,13 @@ def fused_decoder_layer(
     grid = batch // bpb
     Rb = bpb * Tp
 
+    # trace-time ablation (see ABLATE): production path when abl == ""
+    abl = ABLATE[0]
+    exp_ = jnp.exp if abl == "" else (lambda z: z * 1e-3)
+    sig_ = jax.nn.sigmoid if abl == "" else (lambda z: z * 0.0 + 0.5)
+    erf_ = _erf_poly if abl == "" else (lambda z: z * 0.5)
+    norm_passes = abl != "mxu_only"
+
     def kernel(x_ref, m_ref, qm_ref, sc_ref, sh_ref,
                vecs, b1f, mats, w1, w2, ctx_ref, out_ref):
         V = lambda j: vecs[j:j + 1, :]
@@ -670,6 +686,8 @@ def fused_decoder_layer(
                            preferred_element_type=jnp.float32)
 
         def center(v):
+            if not norm_passes:
+                return v
             mu = jnp.mean(v, axis=-1, keepdims=True)
             var = jnp.mean((v - mu) ** 2, axis=-1, keepdims=True)
             return (v - mu) * jax.lax.rsqrt(var + 1e-5)
@@ -681,7 +699,7 @@ def fused_decoder_layer(
             es = sn_s * (1.0 + sc_ref[k:k + 1, :])
             eb = sn_b * (1.0 + sc_ref[k:k + 1, :]) + sh_ref[k:k + 1, :]
             h = center(y) * es + eb
-            h = h * jax.nn.sigmoid(h)
+            h = h * sig_(h)
             return mm(h, wo) + bo
 
         xb = x_ref[:]                       # (R, D)
@@ -726,8 +744,10 @@ def fused_decoder_layer(
         q = mm(xn, M(0)) + V(2)
         k = mm(xn, M(1)) + V(3) + (1.0 - m) * NEG_MASK
         v = (mm(xn, M(2)) + V(4)) * m
-        qe = jnp.exp(q - jnp.max(q, axis=-1, keepdims=True))
-        q_sm = qe / jnp.maximum(diag_mm(qe, seg.astype(cd)), 1e-30)
+        qe = (exp_(q - jnp.max(q, axis=-1, keepdims=True)) if norm_passes
+              else exp_(q))
+        q_sm = (qe / jnp.maximum(diag_mm(qe, seg.astype(cd)), 1e-30)
+                if norm_passes else qe)
         # per-batch time softmax via per-SEGMENT column maxes and sums
         # (static row slices, f32 VPU).  A global max would be exact in
         # real arithmetic but underflows a segment to 0/0 NaN when its
@@ -737,8 +757,11 @@ def fused_decoder_layer(
             [jnp.broadcast_to(
                 red(v[b * Tp:(b + 1) * Tp], axis=0, keepdims=True),
                 (Tp, D)) for b in range(bpb)], axis=0)
-        ke = jnp.exp(k - per_seg(jnp.max, k))
-        k_sm = ke / per_seg(jnp.sum, ke)
+        if norm_passes:
+            ke = exp_(k - per_seg(jnp.max, k))
+            k_sm = ke / per_seg(jnp.sum, ke)
+        else:
+            k_sm = exp_(k)
         ys = []
         for b in range(bpb):
             sl = slice(b * Tp, (b + 1) * Tp)
@@ -764,8 +787,10 @@ def fused_decoder_layer(
             base = 8 + 6 * i
             xn = hc if ln_folded else hc * V(base) + V(base + 1)
             q = mm(xn, M(4 + 2 * i)) + V(base + 2)
-            qe = jnp.exp(q - jnp.max(q, axis=-1, keepdims=True))
-            q_sm = qe / jnp.maximum(diag_mm(qe, seg_ca.astype(cd)), 1e-30)
+            qe = (exp_(q - jnp.max(q, axis=-1, keepdims=True))
+                  if norm_passes else exp_(q))
+            q_sm = (qe / jnp.maximum(diag_mm(qe, seg_ca.astype(cd)), 1e-30)
+                    if norm_passes else qe)
             ys = []
             for b in range(bpb):
                 sl = slice(b * Tp, (b + 1) * Tp)
@@ -789,7 +814,7 @@ def fused_decoder_layer(
 
         # ---- FFN ----
         y = mm(h2, w1[:]) + b1f[:]
-        y = y * 0.5 * (1.0 + _erf_poly(y * 0.7071067811865476))
+        y = y * 0.5 * (1.0 + erf_(y * 0.7071067811865476))
         y = mm(y, w2[:]) + V(27)
         out_ref[:] = h2 + stylize(y, V(28), V(29), M(13), V(30), 4)
 

@@ -109,6 +109,10 @@ def train_model(
     # a uniform schedule sampler, single-process, and sample_idx in the
     # loader batches; silently falls back to streaming otherwise.
     cond_bank: int = 0,
+    # lax.scan unroll factor for the multi-step program: amortizes the
+    # while-loop's per-leaf carry copies (~9 ms/step at the flagship
+    # config, docs/TRAIN_DECOMP.json); compile time scales with it
+    multi_step_unroll: int = 1,
 ) -> TrainState:
     """Run the epoch loop; returns the final TrainState (host-fetched).
 
@@ -216,7 +220,8 @@ def train_model(
             make_multi_train_step(model, tx, sched_train,
                                   bf16_compute=optim_cfg.bf16_compute,
                                   fused_codec=optim_cfg.fused_codec,
-                                  fused_ctx=optim_cfg.fused_ctx),
+                                  fused_ctx=optim_cfg.fused_ctx,
+                                  unroll=multi_step_unroll),
             mesh)
     bank = banked_fn = None
     if cond_bank > 0 and multi_fn is not None:
@@ -232,7 +237,8 @@ def train_model(
                 make_multi_train_step(model, tx, sched_train,
                                       bf16_compute=optim_cfg.bf16_compute,
                                       fused_codec=optim_cfg.fused_codec,
-                                      fused_ctx=optim_cfg.fused_ctx),
+                                      fused_ctx=optim_cfg.fused_ctx,
+                                      unroll=multi_step_unroll),
                 mesh)
             logger.info("device sample bank enabled (capacity %d samples)",
                         cond_bank)

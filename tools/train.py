@@ -61,6 +61,10 @@ def parse_args():
                    help="device-side double-buffer depth: batches staged "
                         "(stacked + device_put) ahead of dispatch in a "
                         "background thread; 0 disables")
+    p.add_argument("--multi-step-unroll", type=int, default=1,
+                   help="lax.scan unroll for the multi-step program "
+                        "(amortizes while-loop carry copies; compile time "
+                        "scales with it)")
     p.add_argument("--cond-bank", type=int, default=0, metavar="CAPACITY",
                    help="HBM sample-bank capacity (samples): stage each "
                         "sample's device tensors on-chip once, then ship "
@@ -286,6 +290,7 @@ def main():
             device_prefetch=args.device_prefetch,
             log_per_sample=args.log_per_sample,
             cond_bank=args.cond_bank,
+            multi_step_unroll=args.multi_step_unroll,
         )
     logger.info("training done at step %d", int(state.step))
 
