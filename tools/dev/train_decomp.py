@@ -15,7 +15,9 @@ an op-level accounting (reference hot loop this decomposes:
 /root/reference/mogen/models/transformers/raggesture.py:1018-1039 +
 mogen/models/utils/gaussian_diffusion.py:1432-1535).
 
-Usage: python tools/dev/train_decomp.py [plain|latcache|both]
+Usage: python tools/dev/train_decomp.py [bf16][u<N>][fctx][:plain|latcache|both]
+  e.g. "bf16fctxu8:latcache" — bf16 compute, fused cond-ctx kernels,
+  scan unroll 8, latent-cache program only
 """
 import json
 import os
